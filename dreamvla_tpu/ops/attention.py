@@ -1,0 +1,161 @@
+"""Attention primitives: a Pallas TPU flash-attention kernel + XLA reference.
+
+Replaces the reference's cuDNN SDPA / eager matmul-softmax attention
+(`models/gpt2.py:61-84, :267-274`). The trunk's additive mask arrives as a
+(Lq, Lk) bias computed by `dreamvla_tpu.ops.masks` — never materialised per
+(batch, head) in HBM: the kernel reads the single shared bias tile per query
+block, so HBM traffic is O(B*H*L*D + L*L) instead of O(B*H*L*L).
+
+Sequence lengths in this model family are short (<= ~1.3k tokens), so the
+kernel keeps the full K/V for one (batch, head) resident in VMEM and does a
+single-pass softmax per query tile — simpler and faster than online-softmax
+streaming at these sizes. Gradients flow through a custom VJP whose backward
+is pure XLA (rematerialised scores; fused by the compiler), keeping training
+correct while inference takes the Pallas path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_Q_TILE = 128
+_LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Plain XLA attention; fp32 softmax. q,k,v: (B, H, L, D); bias: (Lq, Lk)."""
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # (TQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (Lk, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias_ref[:].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _flash_fwd_impl(q, k, v, bias, scale, interpret=False):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    lq_pad = _round_up(lq, _Q_TILE)
+    lk_pad = _round_up(lk, _LANE)
+    d_pad = _round_up(d, _LANE)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - lq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - lk), (0, d_pad - d)))
+    if bias is None:
+        bias = jnp.zeros((lq, lk), jnp.float32)
+    # padded keys must be invisible to every (real) query row
+    bp = jnp.pad(
+        bias.astype(jnp.float32),
+        ((0, lq_pad - lq), (0, lk_pad - lk)),
+        constant_values=-1.0e9,
+    )
+
+    qp = qp.reshape(b * h, lq_pad, d_pad)
+    kp = kp.reshape(b * h, lk_pad, d_pad)
+    vp = vp.reshape(b * h, lk_pad, d_pad)
+
+    grid = (b * h, lq_pad // _Q_TILE)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _Q_TILE, d_pad), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((_Q_TILE, lk_pad), lambda bh, i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _Q_TILE, d_pad), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bp)
+    return out.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention(q, k, v, bias, scale):
+    return _flash_fwd_impl(q, k, v, bias, scale)
+
+
+def _flash_attention_fwd(q, k, v, bias, scale):
+    return _flash_fwd_impl(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _flash_attention_bwd(scale, res, g):
+    q, k, v, bias = res
+    # Rematerialised XLA backward: standard softmax-attention gradients.
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32).astype(v.dtype)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale).astype(q.dtype)
+    dk = (jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale).astype(k.dtype)
+    dbias = None if bias is None else jnp.sum(ds, axis=(0, 1)).astype(bias.dtype)
+    return dq, dk, dv, dbias
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Dispatching attention: Pallas flash kernel on TPU, XLA elsewhere.
+
+    q, k, v: (B, H, L, D); bias: optional (Lq, Lk) additive, shared over B/H.
+    """
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _flash_attention(q, k, v, bias, scale)
+    return mha_reference(q, k, v, bias, scale)
