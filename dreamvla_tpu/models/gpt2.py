@@ -1,0 +1,105 @@
+"""GPT-2 style causal trunk (embeddings-in, hidden-states-out).
+
+Capability parity with reference `models/gpt2.py` (a trimmed HF GPT-2 that
+only consumes `inputs_embeds` plus a custom additive float mask; no token /
+position embedding tables, no KV cache): pre-LN blocks of
+[LN -> fused-QKV attention -> residual -> LN -> MLP(gelu_new) -> residual],
+final LN, dropout p=0.1 on embeddings / attention / residuals when training
+(HF GPT2Config defaults, active in the reference because the model trains in
+`.train()` mode).
+
+TPU design deltas:
+  * the (L, L) additive mask is passed once and consumed inside the Pallas
+    flash-attention kernel — never expanded to (B, 1, L, L) in HBM
+    (reference expands per batch at dreamvla_model.py:768-775);
+  * weights live as (in, out) Dense kernels; the importer transposes HF
+    Conv1D weights (which are already (in, out)) as needed;
+  * optional `remat` wraps each block in jax.checkpoint — the reference
+    plumbs gradient checkpointing but never enables it (gpt2.py:439).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dreamvla_tpu.models.layers import gelu_tanh
+from dreamvla_tpu.ops.attention import multi_head_attention
+
+
+class GPT2Attention(nn.Module):
+    num_heads: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, bias=None, deterministic: bool = True):
+        b, l, d = x.shape
+        hd = d // self.num_heads
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="c_attn")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            return jnp.moveaxis(t.reshape(b, l, self.num_heads, hd), 1, 2)
+
+        o = multi_head_attention(
+            heads_first(q), heads_first(k), heads_first(v), bias=bias,
+            use_pallas=self.use_pallas,
+        )
+        o = jnp.moveaxis(o, 1, 2).reshape(b, l, d)
+        o = nn.Dense(d, dtype=self.dtype, name="c_proj")(o)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(o)
+
+
+class GPT2Block(nn.Module):
+    num_heads: int
+    mlp_ratio: int = 4
+    dropout: float = 0.1
+    ln_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, bias=None, deterministic: bool = True):
+        d = x.shape[-1]
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
+        x = x + GPT2Attention(
+            self.num_heads, self.dropout, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn",
+        )(h, bias=bias, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
+        m = nn.Dense(self.mlp_ratio * d, dtype=self.dtype, name="mlp_c_fc")(h)
+        m = gelu_tanh(m)
+        m = nn.Dense(d, dtype=self.dtype, name="mlp_c_proj")(m)
+        m = nn.Dropout(self.dropout, deterministic=deterministic)(m)
+        return x + m
+
+
+class GPT2Trunk(nn.Module):
+    num_layers: int = 24
+    num_heads: int = 16
+    dropout: float = 0.1
+    ln_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_embeds, bias=None, deterministic: bool = True):
+        """inputs_embeds: (B, L, D); bias: optional (L, L) additive mask."""
+        x = nn.Dropout(self.dropout, deterministic=deterministic, name="drop")(
+            inputs_embeds
+        )
+        block_cls = GPT2Block
+        if self.remat:
+            block_cls = nn.remat(GPT2Block, static_argnums=(3,))
+        for i in range(self.num_layers):
+            x = block_cls(
+                self.num_heads, dropout=self.dropout, ln_eps=self.ln_eps,
+                dtype=self.dtype, use_pallas=self.use_pallas, name=f"h_{i}",
+            )(x, bias, deterministic)
+        return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_f")(x)

@@ -1,0 +1,127 @@
+"""End-to-end model tests on the tiny config: shapes, causality, DiT head."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamvla_tpu.config import tiny_test
+from dreamvla_tpu.models.dreamvla import DreamVLA
+from dreamvla_tpu.models.dit import ActionDiffusionHead
+
+
+@pytest.fixture(scope="module")
+def tiny_inputs():
+    cfg, _ = tiny_test()
+    rng = np.random.default_rng(0)
+    b, s = 2, cfg.sequence_length
+    return dict(
+        image_primary=jnp.asarray(rng.normal(size=(b, s, 3, 32, 32)), jnp.float32),
+        image_wrist=jnp.asarray(rng.normal(size=(b, s, 3, 32, 32)), jnp.float32),
+        state=jnp.asarray(rng.normal(size=(b, s, 7)), jnp.float32),
+        text_features=jnp.asarray(rng.normal(size=(b, 512)), jnp.float32),
+        action_label=jnp.asarray(
+            rng.normal(size=(b, s, cfg.action_pred_steps, 7)), jnp.float32),
+    )
+
+
+def init_model(cfg, inputs):
+    model = DreamVLA(cfg)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "diffusion": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+            "mask": jax.random.PRNGKey(3)}
+    variables = model.init(rngs, mode="train", train=False, **inputs)
+    return model, variables
+
+
+def test_mlp_head_forward_shapes(tiny_inputs):
+    cfg, _ = tiny_test()
+    model, variables = init_model(cfg, tiny_inputs)
+    out = model.apply(variables, mode="train", train=False, **tiny_inputs)
+    b, s, aps = 2, cfg.sequence_length, cfg.action_pred_steps
+    assert out.arm_action.shape == (b, s, aps, 6)
+    assert out.gripper_action.shape == (b, s, aps, 1)
+    # 4 patches of 16x16x3 on a 32x32 image
+    assert out.image_pred.shape == (b * s, 2, 1, 4, 16 * 16 * 3)
+    assert out.depth_pred.shape == (b * s, 2, 1, 4, 16 * 16)
+    assert np.isfinite(np.asarray(out.arm_action)).all()
+    assert np.isfinite(np.asarray(out.image_pred)).all()
+    assert (np.asarray(out.depth_pred) >= 0).all()  # ReLU'd depth
+    # value ranges from tanh/sigmoid heads
+    assert (np.abs(np.asarray(out.arm_action)) <= 1).all()
+    g = np.asarray(out.gripper_action)
+    assert ((g >= 0) & (g <= 1)).all()
+
+
+def test_action_queries_ignore_b_tokens_of_other_steps(tiny_inputs):
+    """Causality: with atten_only_obs the action features at step t depend
+    only on that step's own A-block — changing frames at a *later* step must
+    not change earlier action outputs."""
+    cfg, _ = tiny_test()
+    model, variables = init_model(cfg, tiny_inputs)
+    out1 = model.apply(variables, mode="test", train=False, **tiny_inputs)
+    mod = dict(tiny_inputs)
+    imgs = np.asarray(mod["image_primary"]).copy()
+    imgs[:, -1] += 10.0  # perturb the last timestep only
+    mod["image_primary"] = jnp.asarray(imgs)
+    out2 = model.apply(variables, mode="test", train=False, **mod)
+    a1 = np.asarray(out1.action_features)
+    a2 = np.asarray(out2.action_features)
+    np.testing.assert_allclose(a1[:, :-1], a2[:, :-1], atol=1e-5)
+    assert np.abs(a1[:, -1] - a2[:, -1]).max() > 1e-4  # last step did change
+
+
+def test_dit_head_train_and_sample(tiny_inputs):
+    cfg, _ = tiny_test()
+    cfg = dataclasses.replace(cfg, use_dit_head=True, dit_type="DiT-S")
+    model, variables = init_model(cfg, tiny_inputs)
+    out = model.apply(
+        variables, mode="train", train=False, **tiny_inputs,
+        rngs={"diffusion": jax.random.PRNGKey(7)},
+    )
+    assert out.dit_loss.shape == ()
+    assert np.isfinite(float(out.dit_loss))
+    assert out.arm_action is None
+
+    # test-mode sampling path
+    out_t = model.apply(variables, mode="test", train=False, **tiny_inputs)
+    z = out_t.action_features  # (b, s, aps, h)
+    b, s, aps, h = z.shape
+    head = ActionDiffusionHead(
+        DreamVLA(cfg).action_diffusion_config(),
+        __import__("dreamvla_tpu.models.dit", fromlist=["build_dit"]).build_dit(
+            DreamVLA(cfg).action_diffusion_config()),
+    )
+    dit_params = variables["params"]["action_model"]
+    samples = head.sample(
+        dit_params, z.reshape(b * s, aps, h).astype(jnp.float32),
+        jax.random.PRNGKey(11))
+    assert samples.shape == (b * s, aps, 7)
+    assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_share_query_channel_slices(tiny_inputs):
+    cfg, _ = tiny_test()
+    cfg = dataclasses.replace(cfg, share_query=True, dino_feat_pred=True,
+                              sam_feat_pred=True)
+    model, variables = init_model(cfg, tiny_inputs)
+    out = model.apply(variables, mode="train", train=False, **tiny_inputs)
+    b_s = 2 * cfg.sequence_length
+    assert out.image_pred.shape == (b_s, 2, 1, 4, 768)
+    assert out.dino_pred.shape == (b_s, 2, 1, 256, 768)
+    assert out.sam_pred.shape == (b_s, 2, 1, 256, 256)
+    # share_query appends only the shared obs tokens to the trunk
+    assert cfg.total_query_tokens == cfg.num_obs_token
+
+
+def test_train_mode_dropout_is_stochastic(tiny_inputs):
+    cfg, _ = tiny_test()
+    model, variables = init_model(cfg, tiny_inputs)
+    o1 = model.apply(variables, mode="test", train=True, **tiny_inputs,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = model.apply(variables, mode="test", train=True, **tiny_inputs,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(o1.arm_action) - np.asarray(o2.arm_action)).max() > 0
