@@ -31,6 +31,12 @@ class DreamVLAConfig:
     num_resampler_query: int = 16
     resampler_depth: int = 3
     include_text_encoder: bool = True  # False: caller feeds CLIP features
+    # CLIP text tower dims (ViT-B/32 defaults; shrink for tests)
+    clip_vocab: int = 49408
+    clip_width: int = 512
+    clip_heads: int = 8
+    clip_layers: int = 12
+    clip_embed_dim: int = 512
     # dream-query heads
     num_obs_token_per_image: int = 9
     pred_num: int = 1
@@ -232,6 +238,7 @@ def tiny_test() -> Tuple[DreamVLAConfig, TrainConfig]:
         sequence_length=3, num_resampler_query=4, num_obs_token_per_image=4,
         image_size=32, patch_size=16, vision_embed_dim=64, vision_depth=2,
         vision_heads=4, include_text_encoder=False,
+        clip_width=32, clip_heads=4, clip_layers=2,
         obs_pred=True, depth_pred=True,
         atten_only_obs=True, attn_robot_proprio_state=True,
         action_pred_steps=2, compute_dtype="float32",

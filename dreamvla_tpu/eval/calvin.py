@@ -1,0 +1,142 @@
+"""CALVIN ABC-D closed-loop benchmark driver.
+
+Capability parity with reference `eval_calvin.py` + `utils/eval_utils_calvin.py`:
+the official 1000-sequence x 5-subtask protocol (EP_LEN=360), frozen
+`assets/eval_sequences.json`, per-subtask rollouts against calvin_env's
+PlayTable sim with the task oracle, sequence sharding across hosts, and
+result aggregation (success-rate per chain position + average rollout
+length).
+
+The simulator stack (calvin_env, pybullet, hydra task oracle) is imported
+lazily — this module is importable without them; the policy side only needs
+a `PolicyWrapper`. Multi-host sharding uses jax process_index/count instead
+of torch.distributed ranks, and result gathering is a host-side
+`multihost_utils.process_allgather` on the padded result vector (replaces
+gather_object, eval_utils_calvin.py:213-214).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+EP_LEN = 360
+NUM_SEQUENCES = 1000
+ASSETS = Path(__file__).resolve().parents[2] / "assets"
+
+
+def load_eval_sequences(path: Optional[str] = None):
+    with open(path or ASSETS / "eval_sequences.json") as f:
+        return json.load(f)
+
+
+def count_success(results: Sequence[int]) -> List[float]:
+    counter = Counter(results)
+    return [sum(counter[j] for j in reversed(range(i, 6))) / len(results)
+            for i in range(1, 6)]
+
+
+def rollout(env, policy, task_oracle, subtask: str, lang: str) -> bool:
+    """<=360 env steps of one language subtask (eval_utils_calvin.py:243-296)."""
+    obs = env.get_obs()
+    policy.reset()
+    start_info = env.get_info()
+    planned: List[np.ndarray] = []
+    for step in range(EP_LEN):
+        action = policy.step(obs, lang, step)
+        if len(planned) == 0:
+            if action.shape == (7,):
+                planned.append(action)
+            else:
+                planned.extend(list(action))
+        action = planned.pop(0)
+        obs, _, _, info = env.step(action)
+        if task_oracle.get_task_info_for_set(start_info, info, {subtask}):
+            return True
+    return False
+
+
+def evaluate_sequence(env, policy, task_oracle, initial_state, sequence,
+                      val_annotations, diverse_inst=False, seq_idx=-1) -> int:
+    from calvin_agent.evaluation.multistep_sequences import (
+        get_env_state_for_initial_condition)
+
+    robot_obs, scene_obs = get_env_state_for_initial_condition(initial_state)
+    env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
+    successes = 0
+    for i, subtask in enumerate(sequence):
+        if diverse_inst:
+            lang = val_annotations[seq_idx][i]
+        else:
+            lang = val_annotations[subtask][0]
+        lang = lang.split("\n")[0].replace("’", "'")
+        if rollout(env, policy, task_oracle, subtask, lang):
+            successes += 1
+        else:
+            return successes
+    return successes
+
+
+def evaluate_policy(policy, dataset_path: str, calvin_conf_path: str,
+                    diverse_inst: bool = False,
+                    num_sequences: int = NUM_SEQUENCES,
+                    eval_sequences_path: Optional[str] = None,
+                    process_index: Optional[int] = None,
+                    process_count: Optional[int] = None):
+    """Shard the 1000 sequences over hosts, run, and gather to host 0."""
+    import hydra
+    import jax
+    from calvin_agent.evaluation.utils import get_env_state_for_initial_condition  # noqa: F401
+    from calvin_env.envs.play_table_env import get_env
+    from omegaconf import OmegaConf
+
+    os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
+    rank = jax.process_index() if process_index is None else process_index
+    world = jax.process_count() if process_count is None else process_count
+
+    env = get_env(Path(dataset_path) / "validation", show_gui=False)
+    conf_dir = Path(calvin_conf_path)
+    task_cfg = OmegaConf.load(
+        conf_dir / "callbacks/rollout/tasks/new_playtable_tasks.yaml")
+    task_oracle = hydra.utils.instantiate(task_cfg)
+    if diverse_inst:
+        with open(ASSETS / "lang_annotation_cache.json") as f:
+            val_annotations = json.load(f)
+    else:
+        val_annotations = OmegaConf.load(
+            conf_dir / "annotations/new_playtable_validation.yaml")
+
+    sequences = load_eval_sequences(eval_sequences_path)[:num_sequences]
+    assert len(sequences) % world == 0, "sequences must divide evenly by hosts"
+    per = len(sequences) // world
+    local = sequences[rank * per:(rank + 1) * per]
+
+    results = []
+    for j, (initial_state, sequence) in enumerate(local):
+        res = evaluate_sequence(env, policy, task_oracle, initial_state,
+                                sequence, val_annotations, diverse_inst,
+                                seq_idx=rank * per + j)
+        results.append(res)
+        rates = " ".join(f"{i+1}/5: {v*100:.1f}%"
+                         for i, v in enumerate(count_success(results)))
+        print(f"[host {rank}] seq {j+1}/{per} | {rates}", flush=True)
+
+    if world > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            np.asarray(results, np.int32))
+        results = list(np.asarray(gathered).reshape(-1))
+    if rank == 0:
+        rates = count_success(results)
+        avg_len = float(np.mean(results))
+        print("CALVIN results:",
+              {f"{i+1}/5": r for i, r in enumerate(rates)},
+              f"avg_len={avg_len:.3f}")
+        return rates, avg_len
+    return None

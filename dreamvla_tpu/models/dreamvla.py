@@ -83,7 +83,10 @@ class DreamVLA(nn.Module):
             num_heads=cfg.vision_heads, dtype=dt,
         )
         if cfg.include_text_encoder:
-            self.text_encoder = CLIPTextEncoder(dtype=dt)
+            self.text_encoder = CLIPTextEncoder(
+                vocab_size=cfg.clip_vocab, width=cfg.clip_width,
+                heads=cfg.clip_heads, layers=cfg.clip_layers,
+                embed_dim=cfg.clip_embed_dim, dtype=dt)
 
         # projectors / state encoders --------------------------------------
         self.text_projector = nn.Dense(h, dtype=dt)

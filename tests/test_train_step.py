@@ -1,0 +1,111 @@
+"""Train-step tests: losses assemble, grads flow, shard_map DP on 8 CPU devs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamvla_tpu.config import tiny_test
+from dreamvla_tpu.models.dreamvla import DreamVLA
+from dreamvla_tpu.parallel.mesh import make_mesh, shard_batch
+from dreamvla_tpu.parallel.train_step import (
+    build_train_step,
+    create_train_state,
+    prepare_model_inputs,
+)
+from dreamvla_tpu.train.losses import silog_loss, smooth_l1, binary_cross_entropy
+from dreamvla_tpu.utils.testing import add_accum_axis, make_synthetic_batch
+
+
+def test_loss_primitives_match_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 5)).astype(np.float32)
+    b = rng.normal(size=(4, 5)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(smooth_l1(jnp.asarray(a), jnp.asarray(b))),
+        float(F.smooth_l1_loss(torch.from_numpy(a), torch.from_numpy(b))),
+        rtol=1e-6)
+    p = 1 / (1 + np.exp(-a))
+    t = (b > 0).astype(np.float32)
+    np.testing.assert_allclose(
+        float(binary_cross_entropy(jnp.asarray(p), jnp.asarray(t))),
+        float(F.binary_cross_entropy(torch.from_numpy(p), torch.from_numpy(t))),
+        rtol=1e-5)
+    dp = np.abs(rng.normal(size=(3, 8, 8))).astype(np.float32)
+    dt = np.abs(rng.normal(size=(3, 8, 8))).astype(np.float32)
+    diff = np.log(dt + 1e-6) - np.log(dp + 1e-6)
+    want = np.sqrt((diff**2).mean() - 0.5 * diff.mean() ** 2)
+    np.testing.assert_allclose(
+        float(silog_loss(jnp.asarray(dp), jnp.asarray(dt))), want, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg, tcfg = tiny_test()
+    tcfg = dataclasses.replace(tcfg, flow_as_mask=True)
+    model = DreamVLA(cfg)
+    batch = make_synthetic_batch(cfg, tcfg, batch=2)
+    state, tx, _ = create_train_state(
+        model, tcfg, batch, jax.random.PRNGKey(0), total_steps=10)
+    return cfg, tcfg, model, batch, state, tx
+
+
+def test_single_device_step_updates_params(tiny_setup):
+    cfg, tcfg, model, batch, state, tx = tiny_setup
+    step = build_train_step(model, tcfg, tx, mesh=None, donate=False)
+    abatch = jax.tree.map(jnp.asarray, add_accum_axis(batch, accum=2))
+    # warmup LR is 0 at optimizer count 0 (HF schedule semantics) -> two steps
+    state2, losses = step(state, abatch, jax.random.PRNGKey(1))
+    state2, losses = step(state2, abatch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses.total))
+    assert float(losses.image) > 0 and float(losses.depth) > 0
+    # params moved, but frozen encoder untouched
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    flat = jax.tree_util.tree_flatten_with_path(moved)[0]
+    froz = [v for p, v in flat if p[0].key == "vision_encoder"]
+    trn = [v for p, v in flat if p[0].key == "transformer_backbone"]
+    assert max(froz) == 0.0
+    assert max(trn) > 0.0
+
+
+def test_shard_map_dp_matches_single_device(tiny_setup):
+    cfg, tcfg, model, batch, state, tx = tiny_setup
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must force 8 virtual CPU devices"
+    mesh = make_mesh(("dp",))
+    # global batch = 8 copies of the same micro-batch -> pmean(grads) equals
+    # the single-device grads, so one step must produce identical params
+    gbatch = {k: np.concatenate([v] * n_dev, axis=0) for k, v in batch.items()}
+    gbatch = add_accum_axis(gbatch, accum=1)
+    gbatch = shard_batch(mesh, jax.tree.map(jnp.asarray, gbatch))
+
+    dp_step = build_train_step(model, tcfg, tx, mesh=mesh, donate=False)
+    sd_step = build_train_step(model, tcfg, tx, mesh=None, donate=False)
+
+    # NOTE: per-device rngs are folded identically (replicated rng), so each
+    # device computes the same grads here by construction.
+    st_dp, loss_dp = dp_step(state, gbatch, jax.random.PRNGKey(1))
+    st_sd, loss_sd = sd_step(
+        state, jax.tree.map(jnp.asarray, add_accum_axis(batch, 1)),
+        jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_dp.total), float(loss_sd.total), rtol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     st_dp.params, st_sd.params)
+    assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_prepare_model_inputs_contract(tiny_setup):
+    cfg, tcfg, model, batch, state, tx = tiny_setup
+    inp = prepare_model_inputs(cfg, jax.tree.map(jnp.asarray, batch))
+    s, aps = cfg.sequence_length, cfg.action_pred_steps
+    assert inp["image_primary"].shape[1] == s
+    assert inp["action_label"].shape[1:] == (s, aps, 7)
+    # chunk j at time t is action at t+j
+    np.testing.assert_array_equal(
+        np.asarray(inp["action_label"][:, 0, 1]), batch["actions"][:, 1])
