@@ -157,23 +157,40 @@ class CalvinDataset:
     def __len__(self) -> int:
         return len(self.episode_lookup)
 
+    def _load_window_frames(self, start: int) -> Dict[str, np.ndarray]:
+        """Load the window's per-frame npz files. Uses the native GIL-free
+        batch reader (native/frameloader.cpp) when built; numpy otherwise."""
+        from dreamvla_tpu.data import native_loader
+
+        keys = FRAME_KEYS if not self.merge_data else None
+        if keys is not None and native_loader.available():
+            paths = [str(self._frame_path(start + o))
+                     for o in range(self.window)]
+            tasks = [(p, k) for p in paths for k in keys]
+            arrays = native_loader.read_members_batch(tasks, n_threads=8)
+            if all(a is not None for a in arrays):
+                nk = len(keys)
+                return {k: np.stack([arrays[f * nk + j]
+                                     for f in range(self.window)])
+                        for j, k in enumerate(keys)}
+        frames = [self._load_frame(start + o) for o in range(self.window)]
+        all_keys = frames[0].keys() if self.merge_data else FRAME_KEYS
+        return {k: np.stack([f[k] for f in frames]) for k in all_keys}
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         start = int(self.episode_lookup[idx])
-        frames = [self._load_frame(start + o) for o in range(self.window)]
-        sample: Dict[str, np.ndarray] = {
-            k: np.stack([f[k] for f in frames]) for k in FRAME_KEYS
-        }
+        loaded = self._load_window_frames(start)
+        sample: Dict[str, np.ndarray] = {k: loaded[k] for k in FRAME_KEYS}
         if self.merge_data:
             for src, dst in (("dino_static", "dino_primary"),
                              ("dino_gripper", "dino_wrist"),
                              ("sam_static", "sam_primary"),
                              ("sam_gripper", "sam_wrist")):
-                if src in frames[0]:
-                    sample[dst] = np.stack([f[src] for f in frames])
-            if "traj_static" in frames[0]:
-                sample["tracks"] = np.stack([f["traj_static"] for f in frames])
-                sample["tracks_gripper"] = np.stack(
-                    [f["traj_gripper"] for f in frames])
+                if src in loaded:
+                    sample[dst] = loaded[src]
+            if "traj_static" in loaded:
+                sample["tracks"] = loaded["traj_static"]
+                sample["tracks_gripper"] = loaded["traj_gripper"]
         else:
             ids = range(start, start + self.window)
             if self.load_dino:

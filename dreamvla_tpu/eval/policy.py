@@ -30,15 +30,16 @@ from dreamvla_tpu.models.dit import ActionDiffusionHead, build_dit
 from dreamvla_tpu.models.dreamvla import DreamVLA
 
 
-def build_policy_fn(model: DreamVLA) -> Callable:
-    """jitted (params, frames..., rng) -> (arm (1,S,steps,6), grip (1,S,steps,1))."""
+def build_policy_core(model: DreamVLA) -> Callable:
+    """Unjitted (params, frames..., rng) -> (arm (B,S,steps,6), grip
+    (B,S,steps,1)): one full policy step (trunk + DiT sampling), composable
+    under scan/vmap (bench.py runs it N times per dispatch)."""
     cfg = model.cfg
     head = None
     if cfg.use_dit_head:
         head = ActionDiffusionHead(model.action_diffusion_config(),
                                    build_dit(model.action_diffusion_config()))
 
-    @jax.jit
     def policy(params, image_primary, image_wrist, state, text_tokens, rng):
         out = model.apply({"params": params}, image_primary, image_wrist,
                           state, text_tokens=text_tokens, mode="test",
@@ -54,6 +55,11 @@ def build_policy_fn(model: DreamVLA) -> Callable:
         return arm.astype(jnp.float32), grip.astype(jnp.float32)
 
     return policy
+
+
+def build_policy_fn(model: DreamVLA) -> Callable:
+    """jitted single policy step (see build_policy_core)."""
+    return jax.jit(build_policy_core(model))
 
 
 class PolicyWrapper:
