@@ -78,6 +78,10 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--finetune_from_pretrained_ckpt", default=None)
     p.add_argument("--vit_checkpoint_path", default=None)
     p.add_argument("--clip_checkpoint_path", default=None)
+    p.add_argument("--gpt2_checkpoint_path", default=None,
+                   help="HF gpt2-medium state dict for --use_gpt2_pretrained"
+                        " trunk initialisation (reference dreamvla_model.py"
+                        ":539-542)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--report_to_wandb", action="store_true")
     p.add_argument("--wandb_project", default="dreamvla_tpu")
@@ -128,6 +132,12 @@ def _load_pretrained_encoders(mcfg, params, args):
         tree, missing, _ = ti.import_clip_text(sd, layers=mcfg.clip_layers)
         params["text_encoder"] = ti.merge_params(params["text_encoder"], tree)
         print(f"loaded CLIP text tower ({len(missing)} missing keys)")
+    if getattr(args, "gpt2_checkpoint_path", None):
+        sd = ti.load_torch_state_dict(args.gpt2_checkpoint_path)
+        tree, missing, _ = ti.import_gpt2_trunk(sd, mcfg.transformer_layers)
+        params["transformer_backbone"] = ti.merge_params(
+            params["transformer_backbone"], tree)
+        print(f"loaded GPT-2 trunk weights ({len(missing)} missing keys)")
     return params
 
 

@@ -28,6 +28,16 @@ class DreamVLAConfig:
     vision_embed_dim: int = 768
     vision_depth: int = 12
     vision_heads: int = 12
+    # dinosiglip tower dims (released sizes; shrink for tests)
+    dino_dim: int = 1024
+    dino_depth: int = 24
+    dino_heads: int = 16
+    dino_pos_grid: int = 37
+    siglip_dim: int = 1152
+    siglip_depth: int = 27
+    siglip_heads: int = 16
+    siglip_mlp: int = 4304
+    vision_patch_size: int = 14  # dinosiglip towers are patch-14
     num_resampler_query: int = 16
     resampler_depth: int = 3
     include_text_encoder: bool = True  # False: caller feeds CLIP features
@@ -72,15 +82,19 @@ class DreamVLAConfig:
     # ------------------------------------------------------------ derived
     @property
     def vision_width(self) -> int:
-        return 2176 if self.use_dinosiglip else self.vision_embed_dim
+        if self.use_dinosiglip:
+            return self.dino_dim + self.siglip_dim
+        return self.vision_embed_dim
 
     @property
     def cls_width(self) -> int:
-        return 1024 if self.use_dinosiglip else self.vision_embed_dim
+        return self.dino_dim if self.use_dinosiglip else self.vision_embed_dim
 
     @property
     def vision_tokens(self) -> int:
-        return 256 if self.use_dinosiglip else (self.image_size // self.patch_size) ** 2
+        if self.use_dinosiglip:
+            return (self.image_size // self.vision_patch_size) ** 2
+        return (self.image_size // self.patch_size) ** 2
 
     @property
     def num_a(self) -> int:

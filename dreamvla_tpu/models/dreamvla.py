@@ -73,15 +73,28 @@ class DreamVLA(nn.Module):
 
         # frozen encoders -------------------------------------------------
         if cfg.use_dinosiglip:
-            raise NotImplementedError(
-                "dinosiglip encoder pair lands in a later revision; "
-                "use the MAE encoder (reference default)"
+            from dreamvla_tpu.models.dinosiglip import DinoSigLIPEncoder
+
+            self.vision_encoder = DinoSigLIPEncoder(
+                dtype=dt,
+                dino_kw=dict(img_size=cfg.image_size,
+                             patch_size=cfg.vision_patch_size,
+                             embed_dim=cfg.dino_dim, depth=cfg.dino_depth,
+                             num_heads=cfg.dino_heads,
+                             pos_grid=cfg.dino_pos_grid),
+                siglip_kw=dict(img_size=cfg.image_size,
+                               patch_size=cfg.vision_patch_size,
+                               embed_dim=cfg.siglip_dim,
+                               depth=cfg.siglip_depth,
+                               num_heads=cfg.siglip_heads,
+                               mlp_hidden=cfg.siglip_mlp),
             )
-        self.vision_encoder = MaskedAutoencoderViT(
-            img_size=cfg.image_size, patch_size=cfg.patch_size,
-            embed_dim=cfg.vision_embed_dim, depth=cfg.vision_depth,
-            num_heads=cfg.vision_heads, dtype=dt,
-        )
+        else:
+            self.vision_encoder = MaskedAutoencoderViT(
+                img_size=cfg.image_size, patch_size=cfg.patch_size,
+                embed_dim=cfg.vision_embed_dim, depth=cfg.vision_depth,
+                num_heads=cfg.vision_heads, dtype=dt,
+            )
         if cfg.include_text_encoder:
             self.text_encoder = CLIPTextEncoder(
                 vocab_size=cfg.clip_vocab, width=cfg.clip_width,
@@ -219,9 +232,14 @@ class DreamVLA(nn.Module):
         imgs = jnp.concatenate(
             [image_primary.reshape(b * s, *image_primary.shape[2:]),
              image_wrist.reshape(b * s, *image_wrist.shape[2:])], axis=0)
-        feats, _, _ = self.vision_encoder.forward_encoder(imgs, mask_ratio=0.0)
-        feats = jax.lax.stop_gradient(feats)  # frozen encoder
-        cls, patches = feats[:, :1, :], feats[:, 1:, :]
+        if cfg.use_dinosiglip:
+            patches, cls_vec = self.vision_encoder(imgs)
+            patches = jax.lax.stop_gradient(patches)
+            cls = jax.lax.stop_gradient(cls_vec)[:, None, :]
+        else:
+            feats, _, _ = self.vision_encoder.forward_encoder(imgs, mask_ratio=0.0)
+            feats = jax.lax.stop_gradient(feats)  # frozen encoder
+            cls, patches = feats[:, :1, :], feats[:, 1:, :]
         lat = self.perceiver_resampler(patches)  # (2BS, R, Dv)
         lat_p, lat_w = jnp.split(lat, 2, axis=0)
         cls_p, cls_w = jnp.split(cls, 2, axis=0)

@@ -202,7 +202,13 @@ def import_dit(sd: Dict[str, np.ndarray], depth: int, prefix: str = "net."
     im.raw(f"{prefix}z_embedder.uncondition", ("uncondition",))
     im.raw(f"{prefix}positional_embedding", ("positional_embedding",))
     for i in range(depth):
-        _vit_block(im, f"{prefix}blocks.{i}", (f"blocks_{i}",))
+        # DiT blocks use affine-free LayerNorms (models.py:129-131): only
+        # attention + MLP weights exist.
+        tp, p = f"{prefix}blocks.{i}", (f"blocks_{i}",)
+        im.dense(f"{tp}.attn.qkv", p + ("attn", "qkv"))
+        im.dense(f"{tp}.attn.proj", p + ("attn", "proj"))
+        im.dense(f"{tp}.mlp.fc1", p + ("mlp", "fc1"))
+        im.dense(f"{tp}.mlp.fc2", p + ("mlp", "fc2"))
     im.dense(f"{prefix}final_layer.linear", ("final_linear",))
     return im.out, im.missing, im.unexpected()
 

@@ -125,3 +125,21 @@ def test_train_mode_dropout_is_stochastic(tiny_inputs):
     o2 = model.apply(variables, mode="test", train=True, **tiny_inputs,
                      rngs={"dropout": jax.random.PRNGKey(2)})
     assert np.abs(np.asarray(o1.arm_action) - np.asarray(o2.arm_action)).max() > 0
+
+
+def test_dinosiglip_variant(tiny_inputs):
+    cfg, _ = tiny_test()
+    cfg = dataclasses.replace(
+        cfg, use_dinosiglip=True, vision_patch_size=16,
+        dino_dim=32, dino_depth=2, dino_heads=4, dino_pos_grid=2,
+        siglip_dim=48, siglip_depth=3, siglip_heads=4, siglip_mlp=96)
+    assert cfg.vision_width == 80 and cfg.cls_width == 32
+    model, variables = init_model(cfg, tiny_inputs)
+    out = model.apply(variables, mode="test", train=False, **tiny_inputs)
+    b, s, aps = 2, cfg.sequence_length, cfg.action_pred_steps
+    assert out.arm_action.shape == (b, s, aps, 6)
+    assert np.isfinite(np.asarray(out.arm_action)).all()
+    # both towers' params exist under the encoder
+    enc = variables["params"]["vision_encoder"]
+    assert "dino" in enc and "siglip" in enc
+    assert "reg_token" in enc["dino"] and "cls_token" not in enc["siglip"]
