@@ -172,6 +172,15 @@ def get_droid_dataset(root: str, dataset_names: Sequence[str],
                     sampler, ds)
 
 
+def get_real_dataset(root: str, dataset_names: Sequence[str],
+                     dataset_info: str, **kwargs) -> DataInfo:
+    """Real-robot finetuning data (the reference's `finetune_type=real` path
+    references an undefined DiskRealDataset, data_utils.py:2948 — a known
+    defect; real-robot dumps use the DROID per-step layout, so this is the
+    working equivalent)."""
+    return get_droid_dataset(root, dataset_names, dataset_info, **kwargs)
+
+
 def get_oxe_dataset(root: str, dataset_names: Sequence[str], tokenizer=None,
                     batch_size: int = 8, window_size: int = 10,
                     act_step: int = 3, rank: int = 0, world_size: int = 1,

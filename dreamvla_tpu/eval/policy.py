@@ -62,6 +62,48 @@ def build_policy_fn(model: DreamVLA) -> Callable:
     return jax.jit(build_policy_core(model))
 
 
+def build_cached_policy_cores(model: DreamVLA):
+    """Unjitted (encode_frame, trunk_step) pair for composition (scan/vmap).
+
+    encode_frame(params, img_p (B,T,3,H,W), img_w) -> per-frame projected
+    vision tokens; trunk_step consumes the (B,S,...) token history. Vision
+    features are position-independent, so caching them across env steps is
+    bit-identical to re-encoding the full history every step (which the
+    reference does) at ~half the per-step FLOPs.
+    """
+    cfg = model.cfg
+    head = None
+    if cfg.use_dit_head:
+        head = ActionDiffusionHead(model.action_diffusion_config(),
+                                   build_dit(model.action_diffusion_config()))
+
+    def encode_frame(params, img_p, img_w):
+        return model.apply({"params": params}, img_p, img_w,
+                           method=DreamVLA.encode_views)
+
+    def trunk_step(params, img_tokens, cls_tokens, state, text_tokens, rng):
+        out = model.apply({"params": params}, img_tokens, cls_tokens, state,
+                          text_tokens=text_tokens, mode="test", train=False,
+                          method=DreamVLA.forward_from_tokens)
+        if cfg.use_dit_head:
+            b, s, aps, h = out.action_features.shape
+            z = out.action_features.reshape(b * s, aps, h).astype(jnp.float32)
+            samples = head.sample(params["action_model"], z, rng)
+            arm = samples[..., :6].reshape(b, s, aps, 6)
+            grip = samples[..., 6:].reshape(b, s, aps, 1)
+        else:
+            arm, grip = out.arm_action, out.gripper_action
+        return arm.astype(jnp.float32), grip.astype(jnp.float32)
+
+    return encode_frame, trunk_step
+
+
+def build_cached_policy_fns(model: DreamVLA):
+    """jitted (encode_frame, trunk_step) pair (see build_cached_policy_cores)."""
+    encode_frame, trunk_step = build_cached_policy_cores(model)
+    return jax.jit(encode_frame), jax.jit(trunk_step)
+
+
 class PolicyWrapper:
     """Host-side closed-loop driver around the jitted policy."""
 
@@ -69,10 +111,14 @@ class PolicyWrapper:
                  env: str = "calvin", use_ensembling: bool = False,
                  ensembling_temp: float = 0.01, eval_max_steps: int = 600,
                  adaptive_ensemble: bool = False, gripper_width: bool = False,
-                 seed: int = 0):
+                 feature_cache: bool = True, seed: int = 0):
         self.cfg = model.cfg
         self.params = params
-        self.policy = build_policy_fn(model)
+        self.feature_cache = feature_cache
+        if feature_cache:
+            self.encode_frame, self.trunk_step = build_cached_policy_fns(model)
+        else:
+            self.policy = build_policy_fn(model)
         self.tokenizer = tokenizer or get_tokenizer()
         self.env = env
         self.use_ensembling = use_ensembling
@@ -89,6 +135,8 @@ class PolicyWrapper:
     def reset(self) -> None:
         self.frames_primary: list = []
         self.frames_wrist: list = []
+        self.img_tokens: list = []  # feature-cache path: per-frame tokens
+        self.cls_tokens: list = []
         self.states: list = []
         self.text_tokens: Optional[np.ndarray] = None
         self.gripper_state = np.array([-1.0], np.float32)
@@ -117,42 +165,63 @@ class PolicyWrapper:
             state = np.concatenate([pos, eul, grip]).astype(np.float32)
         else:
             raise ValueError(self.env)
-        self.frames_primary.append(
-            clip_image_transform(prim[None].astype(np.uint8),
-                                 self.cfg.image_size)[0])
-        self.frames_wrist.append(
-            clip_image_transform(wrist[None].astype(np.uint8),
-                                 self.cfg.image_size)[0])
+        prim_t = clip_image_transform(prim[None].astype(np.uint8),
+                                      self.cfg.image_size)[0]
+        wrist_t = clip_image_transform(wrist[None].astype(np.uint8),
+                                       self.cfg.image_size)[0]
+        if self.feature_cache:
+            it, ct = self.encode_frame(self.params,
+                                       jnp.asarray(prim_t[None, None]),
+                                       jnp.asarray(wrist_t[None, None]))
+            self.img_tokens.append(np.asarray(it))
+            self.cls_tokens.append(np.asarray(ct))
+            if len(self.img_tokens) > self.history_len:
+                self.img_tokens.pop(0)
+                self.cls_tokens.pop(0)
+        else:
+            self.frames_primary.append(prim_t)
+            self.frames_wrist.append(wrist_t)
+            if len(self.frames_primary) > self.history_len:
+                self.frames_primary.pop(0)
+                self.frames_wrist.pop(0)
         self.states.append(state)
-        if len(self.frames_primary) > self.history_len:
-            self.frames_primary.pop(0)
-            self.frames_wrist.pop(0)
+        if len(self.states) > self.history_len:
             self.states.pop(0)
 
-    def _padded(self, seq: list) -> np.ndarray:
-        arr = np.stack(seq)
-        n = len(seq)
+    def _padded(self, seq: list, stacked: bool = False) -> np.ndarray:
+        arr = np.concatenate(seq, axis=1) if stacked else np.stack(seq)[None]
+        n = arr.shape[1]
         if n < self.history_len:
-            pad = np.repeat(arr[-1:], self.history_len - n, axis=0)
-            arr = np.concatenate([arr, pad], axis=0)
-        return arr[None]  # (1, S, ...)
+            pad = np.repeat(arr[:, -1:], self.history_len - n, axis=1)
+            arr = np.concatenate([arr, pad], axis=1)
+        return arr  # (1, S, ...)
 
     # --------------------------------------------------------------- step
     def step(self, obs: Dict, goal: str, timestep: int) -> np.ndarray:
         self._extract_obs(obs)
         if self.text_tokens is None:
             self.text_tokens = self.tokenizer([goal]).astype(np.int32)
-        num_step = len(self.frames_primary)
+        num_step = len(self.states)
 
         self.rng, sub = jax.random.split(self.rng)
-        arm, grip = self.policy(
-            self.params,
-            jnp.asarray(self._padded(self.frames_primary)),
-            jnp.asarray(self._padded(self.frames_wrist)),
-            jnp.asarray(self._padded(self.states)),
-            jnp.asarray(self.text_tokens),
-            sub,
-        )
+        if self.feature_cache:
+            arm, grip = self.trunk_step(
+                self.params,
+                jnp.asarray(self._padded(self.img_tokens, stacked=True)),
+                jnp.asarray(self._padded(self.cls_tokens, stacked=True)),
+                jnp.asarray(self._padded(self.states)),
+                jnp.asarray(self.text_tokens),
+                sub,
+            )
+        else:
+            arm, grip = self.policy(
+                self.params,
+                jnp.asarray(self._padded(self.frames_primary)),
+                jnp.asarray(self._padded(self.frames_wrist)),
+                jnp.asarray(self._padded(self.states)),
+                jnp.asarray(self.text_tokens),
+                sub,
+            )
         arm = np.asarray(arm)[0]    # (S, steps, 6)
         grip = np.asarray(grip)[0]  # (S, steps, 1)
         sel = num_step - 1 if num_step < self.history_len else -1

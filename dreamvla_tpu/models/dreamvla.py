@@ -264,6 +264,30 @@ class DreamVLA(nn.Module):
         mode: str = "train",
         train: bool = False,
     ) -> DreamVLAOutputs:
+        img_tokens, cls_tokens = self.encode_views(image_primary, image_wrist)
+        return self.forward_from_tokens(
+            img_tokens, cls_tokens, state, text_tokens=text_tokens,
+            text_features=text_features, action_label=action_label,
+            mode=mode, train=train)
+
+    def forward_from_tokens(
+        self,
+        img_tokens: jnp.ndarray,  # (B, S, 2R, H) projected resampler tokens
+        cls_tokens: jnp.ndarray,  # (B, S, 2, H) projected cls tokens
+        state: jnp.ndarray,
+        text_tokens: Optional[jnp.ndarray] = None,
+        text_features: Optional[jnp.ndarray] = None,
+        action_label: Optional[jnp.ndarray] = None,
+        mode: str = "train",
+        train: bool = False,
+    ) -> DreamVLAOutputs:
+        """Trunk + heads over precomputed per-frame vision tokens.
+
+        Per-frame vision features are position-independent, so a closed-loop
+        policy can cache them across env steps and encode only the newest
+        frame (the reference re-encodes the whole history every step,
+        eval_utils_calvin.py:114-134) — identical math, ~half the FLOPs.
+        """
         cfg = self.cfg
         b, s = state.shape[:2]
         h = cfg.hidden_dim
@@ -277,7 +301,6 @@ class DreamVLA(nn.Module):
         text_emb = jnp.broadcast_to(text_emb[:, None, None, :], (b, s, 1, h))
 
         state_emb = self.encode_state(state)
-        img_tokens, cls_tokens = self.encode_views(image_primary, image_wrist)
 
         # token assembly ------------------------------------------------------
         parts = [text_emb, state_emb, img_tokens, cls_tokens]

@@ -159,7 +159,10 @@ def multi_head_attention(
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
     if use_pallas is None:
-        use_pallas = is_tpu_backend()
+        # The kernel wins at trunk-scale lengths (measured 0.76ms vs 1.13ms
+        # at L=930 on v5e); at tiny L (DiT tokens, resampler latents) the
+        # 128-lane padding wastes MXU and XLA's fusion is faster.
+        use_pallas = is_tpu_backend() and q.shape[2] >= 256
     if use_pallas:
         return _flash_attention(q, k, v, bias, scale)
     return mha_reference(q, k, v, bias, scale)

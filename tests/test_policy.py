@@ -96,3 +96,19 @@ def test_adaptive_ensembler_math():
     w = np.exp(0.1 * cos)
     w = w / w.sum()
     np.testing.assert_allclose(a1, (w[:, None] * preds).sum(0), rtol=1e-6)
+
+
+def test_feature_cache_matches_full_recompute(wrapper):
+    """Feature-cached stepping must produce bit-identical actions to the
+    reference-style full re-encode of the history every step."""
+    model, params = wrapper
+    rng = np.random.default_rng(5)
+    obs = [make_calvin_obs(rng, t) for t in range(5)]
+    pw_full = PolicyWrapper(model, params, env="calvin", feature_cache=False)
+    pw_cache = PolicyWrapper(model, params, env="calvin", feature_cache=True)
+    pw_full.reset()
+    pw_cache.reset()
+    for t, o in enumerate(obs):
+        a_full = pw_full.step(o, "task", t)
+        a_cache = pw_cache.step(o, "task", t)
+        np.testing.assert_allclose(a_cache, a_full, atol=1e-5)
