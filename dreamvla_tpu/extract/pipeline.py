@@ -117,6 +117,10 @@ class CoTrackerExtractor:
                  track_fn: Optional[Callable] = None):
         self.grid = grid
         self.frame_gap = frame_gap
+        if track_fn == "lk":
+            from dreamvla_tpu.extract.flow_tracker import lk_grid_track_fn
+
+            track_fn = lambda f, g: lk_grid_track_fn(f, g, frame_gap)  # noqa: E731
         self.track_fn = track_fn
 
     def __call__(self, frames_uint8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -37,7 +37,7 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state,
     if strip_frozen:
         params = {k: v for k, v in params.items() if k not in FROZEN_SUBTREES}
     payload = {"params": params, "opt_state": state.opt_state,
-               "step": state.step, "epoch": np.int32(epoch)}
+               "step": state.step, "epoch": np.zeros((), np.int32) + epoch}
     with _manager(ckpt_dir) as mgr:
         mgr.save(epoch, args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
@@ -58,7 +58,7 @@ def restore_checkpoint(ckpt_dir: str, state, epoch: Optional[int] = None):
                        if k not in FROZEN_SUBTREES},
             "opt_state": state.opt_state,
             "step": state.step,
-            "epoch": np.int32(0),
+            "epoch": np.zeros((), np.int32),
         }
         payload = mgr.restore(epoch, args=ocp.args.StandardRestore(template))
     params = dict(state.params)

@@ -1,0 +1,77 @@
+"""Orbax checkpoint round-trip, resume, retention, and finetune surgery."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamvla_tpu.config import tiny_test
+from dreamvla_tpu.models.dreamvla import DreamVLA
+from dreamvla_tpu.parallel.train_step import create_train_state
+from dreamvla_tpu.train.checkpoints import (finetune_surgery,
+                                            restore_checkpoint,
+                                            save_checkpoint)
+from dreamvla_tpu.utils.testing import make_synthetic_batch
+
+
+def make_state(cfg, tcfg, seed=0):
+    model = DreamVLA(cfg)
+    batch = make_synthetic_batch(cfg, tcfg, batch=1)
+    state, tx, _ = create_train_state(model, tcfg, batch,
+                                      jax.random.PRNGKey(seed), total_steps=10)
+    return state
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg, tcfg = tiny_test()
+    state = make_state(cfg, tcfg)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    save_checkpoint(str(tmp_path), epoch=3, state=state)
+    fresh = make_state(cfg, tcfg, seed=1)
+    restored, resume_epoch = restore_checkpoint(str(tmp_path), fresh)
+    assert resume_epoch == 4
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(
+        np.asarray(restored.params["text_projector"]["kernel"]),
+        np.asarray(state.params["text_projector"]["kernel"]))
+    # frozen encoder was stripped at save: fresh values kept
+    np.testing.assert_allclose(
+        np.asarray(restored.params["vision_encoder"]["cls_token"]),
+        np.asarray(fresh.params["vision_encoder"]["cls_token"]))
+
+
+def test_delete_previous_retention(tmp_path):
+    cfg, tcfg = tiny_test()
+    state = make_state(cfg, tcfg)
+    save_checkpoint(str(tmp_path), 0, state)
+    save_checkpoint(str(tmp_path), 1, state, delete_previous=True)
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(tmp_path)) as mgr:
+        assert mgr.all_steps() == [1]  # previous deleted, newest kept
+
+
+def test_finetune_surgery_resets_and_truncates():
+    cfg, tcfg = tiny_test()  # sequence_length 3
+    pre_cfg = dataclasses.replace(cfg, sequence_length=5)
+    pre_tcfg = dataclasses.replace(tcfg, window_size=8)
+    pre = make_state(pre_cfg, pre_tcfg).params
+    fresh = make_state(cfg, tcfg, seed=1).params
+    merged = finetune_surgery(
+        pre, fresh, sequence_length=cfg.sequence_length,
+        reset_obs_token=True, reset_action_decoder=True)
+    # pos emb truncated 5 -> 3 and copied
+    np.testing.assert_allclose(
+        np.asarray(merged["transformer_backbone_position_embedding"]),
+        np.asarray(pre["transformer_backbone_position_embedding"][:, :3]))
+    # reset subtrees keep fresh values
+    np.testing.assert_allclose(np.asarray(merged["obs_tokens"]),
+                               np.asarray(fresh["obs_tokens"]))
+    np.testing.assert_allclose(
+        np.asarray(merged["arm_action_head"]["kernel"]),
+        np.asarray(fresh["arm_action_head"]["kernel"]))
+    # non-reset subtrees import from pretrain
+    np.testing.assert_allclose(
+        np.asarray(merged["transformer_backbone"]["h_0"]["ln_1"]["scale"]),
+        np.asarray(pre["transformer_backbone"]["h_0"]["ln_1"]["scale"]))
