@@ -229,7 +229,8 @@ def get_calvin_dataset(args_root: str, tokenizer=None, batch_size: int = 2,
                        pred_num: int = 1, key: str = "lang",
                        rank: int = 0, world_size: int = 1, seed: int = 42,
                        num_workers: int = 8, gripper_width: bool = False,
-                       validation: bool = False, **dataset_kwargs) -> DataInfo:
+                       validation: bool = False, image_size: int = 224,
+                       **dataset_kwargs) -> DataInfo:
     """Assemble dataset + sharded sampler + prefetch loader
     (reference get_calvin_dataset, data_utils.py:1415-1543)."""
     split = "validation" if validation else "training"
@@ -239,6 +240,7 @@ def get_calvin_dataset(args_root: str, tokenizer=None, batch_size: int = 2,
     sampler = ShardedSampler(len(ds), batch_size, rank=rank,
                              world_size=world_size, seed=seed)
     collate = WindowCollator(tokenizer or get_tokenizer(), window_size,
-                             act_step, pred_num, gripper_width=gripper_width)
+                             act_step, pred_num, image_size=image_size,
+                             gripper_width=gripper_width)
     loader = PrefetchLoader(ds, sampler, collate, num_workers=num_workers)
     return DataInfo(dataloader=loader, sampler=sampler, dataset=ds)

@@ -37,7 +37,9 @@ def device_batch(batch: Dict[str, np.ndarray], accum: int) -> Dict:
 def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
                     epoch: int, rng: jax.Array, mesh=None,
                     logger: Optional[MetricLogger] = None,
-                    log_every: int = 20):
+                    log_every: int = 20,
+                    save_every_iter: int = 0, ckpt_dir: Optional[str] = None,
+                    is_saver: bool = True):
     cfg: DreamVLAConfig = model.cfg
     data_info.set_epoch(epoch)
     loader = data_info.dataloader
@@ -56,6 +58,13 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
         state, losses = step_fn(state, batch, sub)
         step_time.update(time.time() - end)
         end = time.time()
+        if (save_every_iter and ckpt_dir and is_saver
+                and (i + 1) % save_every_iter == 0):
+            # mid-epoch preemption-safe checkpoint (reference exposes
+            # --save_every_iter but never acts on it)
+            from dreamvla_tpu.train.checkpoints import save_checkpoint
+
+            save_checkpoint(ckpt_dir, epoch, state, delete_previous=True)
         if logger is not None and i % log_every == 0:
             global_bs = (tcfg.batch_size * tcfg.gradient_accumulation_steps
                          * (1 if mesh is None else mesh.size))

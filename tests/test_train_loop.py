@@ -1,0 +1,79 @@
+"""End-to-end training-loop integration: disk fixture -> loader -> SPMD step
+-> metrics -> checkpoints, on the 8-device CPU mesh."""
+
+import dataclasses
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from dreamvla_tpu.config import tiny_test
+from dreamvla_tpu.data.calvin import get_calvin_dataset
+from dreamvla_tpu.data.tokenizer import HashTokenizer
+from dreamvla_tpu.models.dreamvla import DreamVLA
+from dreamvla_tpu.parallel.mesh import make_mesh
+from dreamvla_tpu.parallel.train_step import build_train_step, create_train_state
+from dreamvla_tpu.train.loop import device_batch, train_one_epoch
+from dreamvla_tpu.utils.logging import MetricLogger
+
+
+@pytest.fixture(scope="module")
+def calvin_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("calvin_loop") / "training"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(32):
+        np.savez(
+            root / f"episode_{i:07d}.npz",
+            rgb_static=rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+            rgb_gripper=rng.integers(0, 255, (48, 48, 3), dtype=np.uint8),
+            depth_static=rng.random((64, 64)).astype(np.float32),
+            depth_gripper=rng.random((48, 48)).astype(np.float32),
+            rel_actions=np.concatenate(
+                [rng.normal(size=6), [1.0 if i % 2 else -1.0]]).astype(np.float32),
+            robot_obs=np.concatenate(
+                [rng.normal(size=14), [1.0]]).astype(np.float32),
+            scene_obs=rng.normal(size=24).astype(np.float32),
+        )
+    lang_dir = root / "lang_annotations"
+    lang_dir.mkdir()
+    np.save(lang_dir / "auto_lang_ann.npy",
+            {"info": {"indx": [(0, 31)]},
+             "language": {"ann": ["do the thing"], "task": ["thing"]}})
+    np.save(root / "ep_start_end_ids.npy", np.array([[0, 31]]))
+    return root
+
+
+def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
+    cfg, tcfg = tiny_test()
+    cfg = dataclasses.replace(cfg, include_text_encoder=True)
+    tcfg = dataclasses.replace(tcfg, batch_size=8, window_size=6)
+    model = DreamVLA(cfg)
+    data = get_calvin_dataset(str(calvin_root.parent), batch_size=tcfg.batch_size,
+                              window_size=tcfg.window_size,
+                              act_step=cfg.action_pred_steps,
+                              num_workers=2, image_size=cfg.image_size,
+                              tokenizer=HashTokenizer())
+    sample = next(iter(data.dataloader))
+    state, tx, _ = create_train_state(
+        model, tcfg, sample, jax.random.PRNGKey(0), total_steps=10)
+    mesh = make_mesh(("dp",))
+    step = build_train_step(model, tcfg, tx, mesh=mesh, donate=False)
+    logger = MetricLogger()
+    state2, losses = train_one_epoch(
+        model, tcfg, state, step, data, epoch=0, rng=jax.random.PRNGKey(1),
+        mesh=mesh, logger=logger, log_every=1,
+        save_every_iter=2, ckpt_dir=str(tmp_path / "ck"))
+    assert losses is not None and np.isfinite(float(losses.total))
+    assert int(state2.step) == data.dataloader.num_batches
+    # metrics went to stdout as JSON lines
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    rec = json.loads(lines[0])
+    assert "loss/total" in rec and "perf/samples_per_sec" in rec
+    # mid-epoch checkpoint written
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(tmp_path / "ck")) as mgr:
+        assert mgr.all_steps() == [0]
