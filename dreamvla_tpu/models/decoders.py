@@ -43,6 +43,7 @@ class ModalityDecoder(nn.Module):
     depth: int = 2
     relu_out: bool = False
     sincos_pos: bool = True  # False: zero pos table (reference SAM decoder)
+    return_features: bool = False  # True: raw block outputs (DPT head input)
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
 
@@ -73,6 +74,8 @@ class ModalityDecoder(nn.Module):
             # reference decoders build timm Blocks with default LN eps (1e-5)
             x = ViTBlock(self.num_heads, ln_eps=1e-5, dtype=self.dtype,
                          use_pallas=self.use_pallas, name=f"blocks_{i}")(x)
+        if self.return_features:
+            return x  # (N, num_query+num_mask, hidden) for the DPT head
         x = x[:, -self.num_mask_tokens:, :]
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="pred")(x)

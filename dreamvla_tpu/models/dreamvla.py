@@ -155,14 +155,19 @@ class DreamVLA(nn.Module):
                 out_dim=cfg.patch_size**2 * 3, hidden_dim=h, in_dim=q_in, dtype=dt)
         if cfg.depth_pred:
             if cfg.use_dpt_head:
-                raise NotImplementedError(
-                    "DPT refinement head requires external Depth-Anything-V2 "
-                    "weights (absent from the reference repo too); use the "
-                    "linear depth decoder")
-            self.depth_decoder = ModalityDecoder(
-                num_query_tokens=per, num_mask_tokens=cfg.num_mask_tokens,
-                out_dim=cfg.patch_size**2, hidden_dim=h, in_dim=q_in,
-                relu_out=True, dtype=dt)
+                from dreamvla_tpu.models.dpt_head import DPTHead
+
+                # 256 tokens/slot feed the DPT head (dreamvla_model.py:369)
+                self.depth_decoder = ModalityDecoder(
+                    num_query_tokens=per, num_mask_tokens=256 * cfg.pred_num,
+                    out_dim=cfg.patch_size**2, hidden_dim=h, in_dim=q_in,
+                    return_features=True, dtype=dt)
+                self.dpt_head = DPTHead(in_channels=h, dtype=dt)
+            else:
+                self.depth_decoder = ModalityDecoder(
+                    num_query_tokens=per, num_mask_tokens=cfg.num_mask_tokens,
+                    out_dim=cfg.patch_size**2, hidden_dim=h, in_dim=q_in,
+                    relu_out=True, dtype=dt)
         if cfg.dino_feat_pred:
             self.dino_decoder = ModalityDecoder(
                 num_query_tokens=per, num_mask_tokens=256 * cfg.pred_num,
@@ -362,9 +367,25 @@ class DreamVLA(nn.Module):
                     cur += cfg.num_obs_token
             if cfg.depth_pred:
                 sl = slice(h // 4, h // 2) if cfg.share_query else None
-                out = out.replace(depth_pred=decode(
-                    self.depth_decoder, x[:, :, cur:cur + cfg.num_depth_token],
-                    cfg.num_depth_token, sl))
+                if cfg.use_dpt_head:
+                    q = x[:, :, cur:cur + cfg.num_depth_token]
+                    q = q[..., sl] if sl else q
+                    q = q.reshape(b * s * 2, per, q.shape[-1])
+                    feats = self.depth_decoder(q)  # (N, per+256P, H)
+                    grid = 16
+                    maps = []
+                    for i in range(cfg.pred_num):
+                        # reference slices 256-token blocks from the decoder
+                        # output head-on (dreamvla_model.py:833-834)
+                        blk = feats[:, i * 256:(i + 1) * 256, :]
+                        maps.append(self.dpt_head([blk] * 4, grid, grid))
+                    dm = jnp.stack(maps, axis=1)  # (N, P, 1, H', W')
+                    out = out.replace(depth_pred=dm.reshape(
+                        (b * s, 2) + dm.shape[1:]))
+                else:
+                    out = out.replace(depth_pred=decode(
+                        self.depth_decoder, x[:, :, cur:cur + cfg.num_depth_token],
+                        cfg.num_depth_token, sl))
                 if not cfg.share_query:
                     cur += cfg.num_depth_token
             if cfg.dino_feat_pred:

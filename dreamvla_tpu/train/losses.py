@@ -173,15 +173,20 @@ def compute_losses(
         pred = outputs.depth_pred.astype(jnp.float32)
         bsz = batch["depth_primary"].shape[0]
         pred = pred.reshape((bsz, s) + pred.shape[1:])[:, :s_eff]
-        pred = pred.reshape((-1,) + pred.shape[2:])  # (B*s_eff, 2, P, L, p^2)
+        pred = pred.reshape((-1,) + pred.shape[2:])
 
-        def unpatch_view(v):  # (N, P, L, p^2) -> (N, P, 1, H, W)
-            n = v.shape[0]
-            img = unpatchify(v.reshape((-1,) + v.shape[2:]), cfg.patch_size, 1)
-            return img.reshape((n, p) + img.shape[1:])
+        if cfg.use_dpt_head:
+            # DPT head emits dense maps already: (B*s_eff, 2, P, 1, H, W)
+            d_p, d_w = pred[:, 0], pred[:, 1]
+        else:
+            def unpatch_view(v):  # (N, P, L, p^2) -> (N, P, 1, H, W)
+                n = v.shape[0]
+                img = unpatchify(v.reshape((-1,) + v.shape[2:]),
+                                 cfg.patch_size, 1)
+                return img.reshape((n, p) + img.shape[1:])
 
-        d_p = unpatch_view(pred[:, 0])
-        d_w = unpatch_view(pred[:, 1])
+            d_p = unpatch_view(pred[:, 0])
+            d_w = unpatch_view(pred[:, 1])
         depth_l = 0.5 * (silog_loss(d_p, lab_p) + silog_loss(d_w, lab_w))
 
     # ---- dino / sam cosine -------------------------------------------------
