@@ -99,6 +99,9 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--libero_img_size", type=int, default=128)
     p.add_argument("--libero_eval_max_steps", type=int, default=600)
     p.add_argument("--ensembling_temp", type=float, default=0.01)
+    p.add_argument("--parallel_envs", type=int, default=1,
+                   help="batched rollouts per host (one batched policy step "
+                        "drives K simulators; big chunks/s/chip win)")
 
 
 def _configs_from_args(args):
@@ -265,7 +268,7 @@ def cmd_eval_calvin(args) -> None:
 
 def cmd_eval_libero(args) -> None:
     from dreamvla_tpu.eval.libero import evaluate_policy
-    from dreamvla_tpu.eval.policy import PolicyWrapper
+    from dreamvla_tpu.eval.policy import BatchedPolicyWrapper, PolicyWrapper
 
     model, params, mcfg = _restore_policy(args)
     policy = PolicyWrapper(model, params, env="libero",
@@ -273,9 +276,19 @@ def cmd_eval_libero(args) -> None:
                            ensembling_temp=args.ensembling_temp,
                            eval_max_steps=args.libero_eval_max_steps,
                            gripper_width=mcfg.gripper_width)
+    batched = None
+    if args.parallel_envs > 1:
+        batched = BatchedPolicyWrapper(
+            model, params, batch=args.parallel_envs, env="libero",
+            use_ensembling=args.eval_libero_ensembling,
+            ensembling_temp=args.ensembling_temp,
+            eval_max_steps=args.libero_eval_max_steps,
+            gripper_width=mcfg.gripper_width)
     evaluate_policy(policy, args.finetune_type, args.libero_path,
                     img_size=args.libero_img_size,
-                    max_steps=args.libero_eval_max_steps)
+                    max_steps=args.libero_eval_max_steps,
+                    parallel_envs=args.parallel_envs,
+                    batched_policy=batched)
 
 
 def main(argv=None) -> None:

@@ -33,9 +33,37 @@ def evaluate_task(env, policy, max_steps: int, goal: str, obs) -> int:
     return 0
 
 
+def evaluate_tasks_batched(envs, policy, max_steps: int, goals, obs_list):
+    """Step K independent rollouts through ONE batched policy
+    (BatchedPolicyWrapper): finished envs keep receiving no-op steps on the
+    device side but stop advancing on the host. Returns per-env success."""
+    k = len(envs)
+    for i, goal in enumerate(goals):
+        policy.reset_slot(i)
+        policy.set_goal(i, goal)
+    done = [False] * k
+    success = [0] * k
+    steps = np.zeros(k, np.int64)
+    obs_list = list(obs_list)
+    while not all(done) and steps.max() < max_steps:
+        actions = policy.step(obs_list, steps)
+        for i, env in enumerate(envs):
+            if done[i] or steps[i] >= max_steps:
+                done[i] = True
+                continue
+            obs, reward, d, info = env.step(actions[i])
+            obs_list[i] = obs
+            steps[i] += 1
+            if d:
+                success[i] = 1
+                done[i] = True
+    return success
+
+
 def evaluate_policy(policy, suite_name: str, libero_path: str,
                     img_size: int = 128, max_steps: int = 600,
-                    seed: int = 42,
+                    seed: int = 42, parallel_envs: int = 1,
+                    batched_policy=None,
                     process_index: Optional[int] = None,
                     process_count: Optional[int] = None):
     import jax
@@ -49,10 +77,9 @@ def evaluate_policy(policy, suite_name: str, libero_path: str,
     total = NUM_EVAL_EPISODES * TASKS_PER_SUITE
     assert total % world == 0
     per = total // world
-    local_ids = range(rank * per, (rank + 1) * per)
+    local_ids = list(range(rank * per, (rank + 1) * per))
 
-    results: List[int] = []
-    for eval_id in local_ids:
+    def make_env(eval_id):
         task_id = eval_id // NUM_EVAL_EPISODES
         exp_id = eval_id % NUM_EVAL_EPISODES
         task = suite.get_task(task_id)
@@ -71,11 +98,33 @@ def evaluate_policy(policy, suite_name: str, libero_path: str,
         obs = env.set_init_state(init_states[exp_id])
         for _ in range(5):  # settle physics
             obs, *_ = env.step(np.zeros(7))
-        results.append(evaluate_task(env, policy, max_steps,
-                                     task.language, obs))
-        env.close()
-        print(f"[host {rank}] rollout {eval_id}: "
-              f"{'success' if results[-1] else 'fail'}", flush=True)
+        return env, obs, task.language
+
+    results: List[int] = []
+    if parallel_envs > 1 and batched_policy is not None:
+        for s0 in range(0, len(local_ids), parallel_envs):
+            group = local_ids[s0:s0 + parallel_envs]
+            made = [make_env(e) for e in group]
+            envs = [m[0] for m in made]
+            # pad the final group to the fixed policy batch with env 0 dupes
+            while len(envs) < parallel_envs:
+                made.append(made[0])
+                envs.append(made[0][0])
+            succ = evaluate_tasks_batched(
+                envs, batched_policy, max_steps,
+                [m[2] for m in made], [m[1] for m in made])
+            results.extend(succ[: len(group)])
+            for m in made[: len(group)]:
+                m[0].close()
+            print(f"[host {rank}] rollouts {group}: {succ[:len(group)]}",
+                  flush=True)
+    else:
+        for eval_id in local_ids:
+            env, obs, goal = make_env(eval_id)
+            results.append(evaluate_task(env, policy, max_steps, goal, obs))
+            env.close()
+            print(f"[host {rank}] rollout {eval_id}: "
+                  f"{'success' if results[-1] else 'fail'}", flush=True)
 
     if world > 1:
         from jax.experimental import multihost_utils

@@ -246,3 +246,132 @@ class PolicyWrapper:
 
         self.gripper_state = np.array([action[-1]], np.float32)
         return action.astype(np.float32)
+
+
+class BatchedPolicyWrapper:
+    """Fixed-width batched closed-loop policy for parallel rollouts.
+
+    The reference evaluates one env per GPU (eval.sh node_num=8); on TPU the
+    batch-1 policy step is latency-floor-bound (~300 sequential small ops),
+    so stepping K envs through ONE batched forward multiplies chunks/s/chip
+    nearly for free (SURVEY §7 'host-sim throughput' hard part). Slots reset
+    independently; padding/selection semantics per slot match PolicyWrapper.
+    """
+
+    def __init__(self, model: DreamVLA, params, batch: int, tokenizer=None,
+                 env: str = "libero", use_ensembling: bool = False,
+                 ensembling_temp: float = 0.01, eval_max_steps: int = 600,
+                 gripper_width: bool = False, seed: int = 0):
+        cfg = model.cfg
+        self.cfg = cfg
+        self.params = params
+        self.batch = batch
+        self.env = env
+        self.gripper_width = gripper_width
+        self.use_ensembling = use_ensembling
+        self.tokenizer = tokenizer or get_tokenizer()
+        self.encode_frame, self.trunk_step = build_cached_policy_fns(model)
+        self.history_len = cfg.sequence_length
+        aps = cfg.action_pred_steps
+        self.temporal = [TemporalEnsembler(eval_max_steps, aps,
+                                           temp=ensembling_temp)
+                         for _ in range(batch)]
+        self.rng = jax.random.PRNGKey(seed)
+        s = self.history_len
+        r2 = 2 * cfg.num_resampler_query
+        self.img_hist = np.zeros((batch, s, r2, cfg.hidden_dim), np.float32)
+        self.cls_hist = np.zeros((batch, s, 2, cfg.hidden_dim), np.float32)
+        self.state_hist = np.zeros((batch, s, 8 if gripper_width else 7),
+                                   np.float32)
+        self.counts = np.zeros(batch, np.int32)
+        self.text = np.zeros((batch, 77), np.int32)
+        self.gripper_state = np.full((batch, 1), -1.0, np.float32)
+
+    def reset_slot(self, i: int) -> None:
+        self.counts[i] = 0
+        self.gripper_state[i] = -1.0
+        self.temporal[i].reset()
+
+    def set_goal(self, i: int, goal: str) -> None:
+        self.text[i] = self.tokenizer([goal]).astype(np.int32)[0]
+
+    def _extract(self, obs):
+        from scipy.spatial.transform import Rotation as R
+
+        if self.env == "libero":
+            prim = obs["agentview_image"][::-1]
+            wrist = obs["robot0_eye_in_hand_image"]
+        else:
+            prim = obs["rgb_obs"]["rgb_static"]
+            wrist = obs["rgb_obs"]["rgb_gripper"]
+        return prim, wrist, obs
+
+    def step(self, obs_list, timesteps) -> np.ndarray:
+        """obs_list: one obs dict per slot; timesteps: per-slot env step ids.
+        Returns (batch, 7) actions."""
+        from scipy.spatial.transform import Rotation as R
+
+        prims, wrists = [], []
+        for i, obs in enumerate(obs_list):
+            prim, wrist, obs = self._extract(obs)
+            prims.append(clip_image_transform(prim[None].astype(np.uint8),
+                                              self.cfg.image_size)[0])
+            wrists.append(clip_image_transform(wrist[None].astype(np.uint8),
+                                               self.cfg.image_size)[0])
+            if self.env == "libero":
+                pos = np.asarray(obs["robot0_eef_pos"], np.float32)
+                eul = R.from_quat(obs["robot0_eef_quat"]).as_euler("xyz")
+                grip = (np.asarray(obs["robot0_gripper_qpos"], np.float32)
+                        if self.gripper_width else self.gripper_state[i])
+                state = np.concatenate([pos, eul, grip]).astype(np.float32)
+            else:
+                robot = np.asarray(obs["robot_obs"], np.float32)
+                state = np.concatenate([robot[:6], robot[-1:]])
+            n = int(self.counts[i])
+            if n < self.history_len:
+                # fill slot n and repeat-pad the tail
+                self.state_hist[i, n:] = state
+            else:
+                self.state_hist[i] = np.roll(self.state_hist[i], -1, axis=0)
+                self.state_hist[i, -1] = state
+
+        it, ct = self.encode_frame(
+            self.params,
+            jnp.asarray(np.stack(prims)[:, None]),
+            jnp.asarray(np.stack(wrists)[:, None]))
+        it, ct = np.asarray(it), np.asarray(ct)
+        for i in range(self.batch):
+            n = int(self.counts[i])
+            if n < self.history_len:
+                self.img_hist[i, n:] = it[i, 0]
+                self.cls_hist[i, n:] = ct[i, 0]
+            else:
+                self.img_hist[i] = np.roll(self.img_hist[i], -1, axis=0)
+                self.cls_hist[i] = np.roll(self.cls_hist[i], -1, axis=0)
+                self.img_hist[i, -1] = it[i, 0]
+                self.cls_hist[i, -1] = ct[i, 0]
+            self.counts[i] = n + 1
+
+        self.rng, sub = jax.random.split(self.rng)
+        arm, grip = self.trunk_step(
+            self.params, jnp.asarray(self.img_hist),
+            jnp.asarray(self.cls_hist), jnp.asarray(self.state_hist),
+            jnp.asarray(self.text), sub)
+        arm, grip = np.asarray(arm), np.asarray(grip)
+
+        actions = np.zeros((self.batch, 7), np.float32)
+        for i in range(self.batch):
+            n = int(self.counts[i])
+            sel = n - 1 if n < self.history_len else self.history_len - 1
+            if self.use_ensembling:
+                chunk = np.concatenate([arm[i, sel], grip[i, sel]], axis=-1)
+                a = self.temporal[i].update_and_read(int(timesteps[i]), chunk)
+                a = np.concatenate([a[:6], (a[6:] > 0.5).astype(np.float32)])
+                a[-1] = (a[-1] - 0.5) * 2
+            else:
+                a = np.concatenate(
+                    [arm[i, sel, 0],
+                     ((grip[i, sel, 0] > 0.5).astype(np.float32) - 0.5) * 2])
+            self.gripper_state[i] = a[-1]
+            actions[i] = a
+        return actions

@@ -112,3 +112,62 @@ def test_feature_cache_matches_full_recompute(wrapper):
         a_full = pw_full.step(o, "task", t)
         a_cache = pw_cache.step(o, "task", t)
         np.testing.assert_allclose(a_cache, a_full, atol=1e-5)
+
+
+def test_batched_wrapper_matches_single(wrapper):
+    """K=2 batched slots must reproduce two independent single-env runs."""
+    from dreamvla_tpu.eval.policy import BatchedPolicyWrapper
+
+    model, params = wrapper
+    rng = np.random.default_rng(7)
+    obs_a = [make_calvin_obs(rng, t) for t in range(4)]
+    obs_b = [make_calvin_obs(rng, t) for t in range(4)]
+
+    singles = []
+    for obs_seq in (obs_a, obs_b):
+        pw = PolicyWrapper(model, params, env="calvin")
+        pw.reset()
+        singles.append([pw.step(o, "task", t) for t, o in enumerate(obs_seq)])
+
+    bw = BatchedPolicyWrapper(model, params, batch=2, env="calvin")
+    bw.reset_slot(0)
+    bw.reset_slot(1)
+    bw.set_goal(0, "task")
+    bw.set_goal(1, "task")
+    for t in range(4):
+        acts = bw.step([obs_a[t], obs_b[t]], np.array([t, t]))
+        np.testing.assert_allclose(acts[0], singles[0][t], atol=1e-4)
+        np.testing.assert_allclose(acts[1], singles[1][t], atol=1e-4)
+
+
+def test_batched_libero_rollout_loop(wrapper):
+    from dreamvla_tpu.eval.libero import evaluate_tasks_batched
+
+    model, params = wrapper
+
+    class FakeBatchedPolicy:
+        def __init__(self):
+            self.calls = 0
+
+        def reset_slot(self, i):
+            pass
+
+        def set_goal(self, i, g):
+            pass
+
+        def step(self, obs_list, steps):
+            self.calls += 1
+            return np.zeros((len(obs_list), 7), np.float32)
+
+    class FakeEnv:
+        def __init__(self, done_at):
+            self.t, self.done_at = 0, done_at
+
+        def step(self, a):
+            self.t += 1
+            return {"t": self.t}, 0.0, self.t >= self.done_at, {}
+
+    envs = [FakeEnv(3), FakeEnv(10**9)]
+    succ = evaluate_tasks_batched(envs, FakeBatchedPolicy(), 6,
+                                  ["a", "b"], [{"t": 0}, {"t": 0}])
+    assert succ == [1, 0]
