@@ -66,12 +66,13 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 and x.ndim >= 2 else x,
         variables["params"])
-    encode_frame, trunk_step = build_cached_policy_cores(model)
+    encode_frame, trunk_step, encode_text = build_cached_policy_cores(model)
 
     @jax.jit
     def run_n(params, ip, iw, st, tt, rng):
-        # warm token history from the initial window
+        # warm token history from the initial window; goal text encoded once
         img_hist, cls_hist = encode_frame(params, ip, iw)
+        text_feats = encode_text(params, tt)
 
         def step(carry, i):
             acc, rng, img_hist, cls_hist = carry
@@ -80,7 +81,8 @@ def main():
             it, ct = encode_frame(params, ip[:, :1] + i * 1e-4, iw[:, :1])
             img_hist = jnp.concatenate([img_hist[:, 1:], it], axis=1)
             cls_hist = jnp.concatenate([cls_hist[:, 1:], ct], axis=1)
-            arm, grip = trunk_step(params, img_hist, cls_hist, st, tt, sub)
+            arm, grip = trunk_step(params, img_hist, cls_hist, st,
+                                   text_feats, sub)
             acc = acc + jnp.sum(arm) + jnp.sum(grip)
             return (acc, rng, img_hist, cls_hist), None
 

@@ -90,7 +90,7 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--delete_previous_checkpoint", action="store_true")
     for flag in ("except_lang", "load_track_labels", "load_dino_features",
                  "load_sam_features", "merge_data", "text_aug", "partial_data",
-                 "eval_libero_ensembling", "diverse_inst"):
+                 "eval_libero_ensembling", "diverse_inst", "validation"):
         p.add_argument(f"--{flag}", action="store_true")
     p.add_argument("--track_label_path", default=None)
     p.add_argument("--dino_features_path", default=None)
@@ -211,10 +211,22 @@ def cmd_train(args) -> None:
     step_fn = build_train_step(model, tcfg, tx, mesh=mesh)
     logger = MetricLogger(args.report_to_wandb, args.wandb_project,
                           args.run_name) if rank == 0 else None
+    val_data = None
+    if args.validation and args.finetune_type == "calvin":
+        val_data = get_calvin_dataset(args.calvin_dataset, validation=True,
+                                      **common)
     rng = jax.random.PRNGKey(tcfg.seed + rank)
     for epoch in range(resume_epoch, tcfg.num_epochs):
         state, _ = train_one_epoch(model, tcfg, state, step_fn, data, epoch,
                                    rng, mesh=mesh, logger=logger)
+        if val_data is not None and rank == 0:
+            from dreamvla_tpu.eval.offline import evaluate_open_loop
+
+            metrics = evaluate_open_loop(model, state.params, val_data,
+                                         num_batches=10)
+            if logger is not None:
+                logger.log({f"val/{k}": v for k, v in metrics.items()},
+                           step=int(jax.device_get(state.step)))
         if rank == 0 and args.save_checkpoint and epoch % args.save_checkpoint_seq == 0:
             save_checkpoint(f"{args.save_checkpoint_path}/{args.run_name}",
                             epoch, state,

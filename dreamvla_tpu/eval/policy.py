@@ -81,9 +81,15 @@ def build_cached_policy_cores(model: DreamVLA):
         return model.apply({"params": params}, img_p, img_w,
                            method=DreamVLA.encode_views)
 
-    def trunk_step(params, img_tokens, cls_tokens, state, text_tokens, rng):
+    def encode_text(params, text_tokens):
+        return model.apply({"params": params}, text_tokens,
+                           method=lambda m, t: m.text_encoder(t))
+
+    def trunk_step(params, img_tokens, cls_tokens, state, text_features, rng):
+        # text features are per-rollout constants (the goal doesn't change):
+        # encoded once via encode_text, not re-run through CLIP every step
         out = model.apply({"params": params}, img_tokens, cls_tokens, state,
-                          text_tokens=text_tokens, mode="test", train=False,
+                          text_features=text_features, mode="test", train=False,
                           method=DreamVLA.forward_from_tokens)
         if cfg.use_dit_head:
             b, s, aps, h = out.action_features.shape
@@ -95,13 +101,14 @@ def build_cached_policy_cores(model: DreamVLA):
             arm, grip = out.arm_action, out.gripper_action
         return arm.astype(jnp.float32), grip.astype(jnp.float32)
 
-    return encode_frame, trunk_step
+    return encode_frame, trunk_step, encode_text
 
 
 def build_cached_policy_fns(model: DreamVLA):
-    """jitted (encode_frame, trunk_step) pair (see build_cached_policy_cores)."""
-    encode_frame, trunk_step = build_cached_policy_cores(model)
-    return jax.jit(encode_frame), jax.jit(trunk_step)
+    """jitted (encode_frame, trunk_step, encode_text) triple
+    (see build_cached_policy_cores)."""
+    encode_frame, trunk_step, encode_text = build_cached_policy_cores(model)
+    return jax.jit(encode_frame), jax.jit(trunk_step), jax.jit(encode_text)
 
 
 class PolicyWrapper:
@@ -116,7 +123,8 @@ class PolicyWrapper:
         self.params = params
         self.feature_cache = feature_cache
         if feature_cache:
-            self.encode_frame, self.trunk_step = build_cached_policy_fns(model)
+            (self.encode_frame, self.trunk_step,
+             self.encode_text) = build_cached_policy_fns(model)
         else:
             self.policy = build_policy_fn(model)
         self.tokenizer = tokenizer or get_tokenizer()
@@ -139,6 +147,7 @@ class PolicyWrapper:
         self.cls_tokens: list = []
         self.states: list = []
         self.text_tokens: Optional[np.ndarray] = None
+        self.text_features: Optional[np.ndarray] = None
         self.gripper_state = np.array([-1.0], np.float32)
         self.temporal.reset()
         if self.adaptive:
@@ -201,6 +210,10 @@ class PolicyWrapper:
         self._extract_obs(obs)
         if self.text_tokens is None:
             self.text_tokens = self.tokenizer([goal]).astype(np.int32)
+            if self.feature_cache:
+                # goal text is constant per rollout: encode once
+                self.text_features = np.asarray(self.encode_text(
+                    self.params, jnp.asarray(self.text_tokens)))
         num_step = len(self.states)
 
         self.rng, sub = jax.random.split(self.rng)
@@ -210,7 +223,7 @@ class PolicyWrapper:
                 jnp.asarray(self._padded(self.img_tokens, stacked=True)),
                 jnp.asarray(self._padded(self.cls_tokens, stacked=True)),
                 jnp.asarray(self._padded(self.states)),
-                jnp.asarray(self.text_tokens),
+                jnp.asarray(self.text_features),
                 sub,
             )
         else:
@@ -270,7 +283,8 @@ class BatchedPolicyWrapper:
         self.gripper_width = gripper_width
         self.use_ensembling = use_ensembling
         self.tokenizer = tokenizer or get_tokenizer()
-        self.encode_frame, self.trunk_step = build_cached_policy_fns(model)
+        (self.encode_frame, self.trunk_step,
+         self.encode_text) = build_cached_policy_fns(model)
         self.history_len = cfg.sequence_length
         aps = cfg.action_pred_steps
         self.temporal = [TemporalEnsembler(eval_max_steps, aps,
@@ -285,6 +299,7 @@ class BatchedPolicyWrapper:
                                    np.float32)
         self.counts = np.zeros(batch, np.int32)
         self.text = np.zeros((batch, 77), np.int32)
+        self.text_feats = np.zeros((batch, cfg.clip_embed_dim), np.float32)
         self.gripper_state = np.full((batch, 1), -1.0, np.float32)
 
     def reset_slot(self, i: int) -> None:
@@ -294,6 +309,8 @@ class BatchedPolicyWrapper:
 
     def set_goal(self, i: int, goal: str) -> None:
         self.text[i] = self.tokenizer([goal]).astype(np.int32)[0]
+        self.text_feats[i] = np.asarray(self.encode_text(
+            self.params, jnp.asarray(self.text[i][None])))[0]
 
     def _extract(self, obs):
         from scipy.spatial.transform import Rotation as R
@@ -356,7 +373,7 @@ class BatchedPolicyWrapper:
         arm, grip = self.trunk_step(
             self.params, jnp.asarray(self.img_hist),
             jnp.asarray(self.cls_hist), jnp.asarray(self.state_hist),
-            jnp.asarray(self.text), sub)
+            jnp.asarray(self.text_feats), sub)
         arm, grip = np.asarray(arm), np.asarray(grip)
 
         actions = np.zeros((self.batch, 7), np.float32)

@@ -143,3 +143,20 @@ def test_dinosiglip_variant(tiny_inputs):
     enc = variables["params"]["vision_encoder"]
     assert "dino" in enc and "siglip" in enc
     assert "reg_token" in enc["dino"] and "cls_token" not in enc["siglip"]
+
+
+def test_remat_trunk_grads(tiny_inputs):
+    """cfg.remat wraps trunk blocks in jax.checkpoint; grads still flow."""
+    cfg, _ = tiny_test()
+    cfg = dataclasses.replace(cfg, remat=True)
+    model, variables = init_model(cfg, tiny_inputs)
+
+    def loss(params):
+        out = model.apply({"params": params}, mode="train", train=False,
+                          **tiny_inputs)
+        return jnp.sum(out.arm_action ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    gmax = max(jax.tree.leaves(jax.tree.map(
+        lambda x: float(jnp.abs(x).max()), g["transformer_backbone"])))
+    assert np.isfinite(gmax) and gmax > 0
