@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import sys
 
 import jax
 import numpy as np
@@ -167,11 +166,21 @@ def cmd_train(args) -> None:
                   act_step=mcfg.action_pred_steps, pred_num=mcfg.pred_num,
                   rank=rank, world_size=world, seed=tcfg.seed,
                   num_workers=args.workers, gripper_width=mcfg.gripper_width)
+    enrich = None
+    if args.text_aug:
+        import json
+        from pathlib import Path
+
+        asset = Path(__file__).resolve().parents[1] / "assets" / "enrich_lang_annotations.json"
+        if asset.exists() and asset.stat().st_size > 2:
+            with open(asset) as f:
+                enrich = json.load(f)
     if args.finetune_type == "calvin":
         data = get_calvin_dataset(
             args.calvin_dataset,
             key="except_lang" if args.except_lang else "lang",
             pretrain=(mcfg.phase == "pretrain"),
+            partial_data=args.partial_data, enrich_lang=enrich,
             load_track_labels=args.load_track_labels,
             track_label_path=args.track_label_path,
             load_dino_features=args.load_dino_features,

@@ -67,6 +67,8 @@ class CalvinDataset:
         merge_data: bool = False,
         text_aug: bool = False,
         enrich_lang: Optional[Dict[str, List[str]]] = None,
+        partial_data: bool = False,
+        partial_ranges: Optional[List[List[int]]] = None,
         aux_lang_loss_window: int = 1,
         seed: int = 42,
     ):
@@ -85,6 +87,18 @@ class CalvinDataset:
         self.merge_data = merge_data
         self.text_aug = text_aug
         self.enrich_lang = enrich_lang or {}
+        # episode subset filter (reference --partial_data +
+        # utils/partial_task_data.json, data_utils.py:1220-1224)
+        self.partial_ranges = None
+        if partial_data:
+            if partial_ranges is None:
+                import json as _json
+
+                asset = (Path(__file__).resolve().parents[2] / "assets"
+                         / "partial_task_data.json")
+                with open(asset) as f:
+                    partial_ranges = _json.load(f)
+            self.partial_ranges = [list(r) for r in partial_ranges]
         self.aux_lang_loss_window = aux_lang_loss_window
         self.validation = "validation" in str(self.root)
         self.rng = np.random.default_rng(seed)
@@ -113,6 +127,9 @@ class CalvinDataset:
         self.lang_task = ann["language"]["task"]
         lookup, lang_lookup = [], []
         for i, (start, end) in enumerate(ann["info"]["indx"]):
+            if (self.partial_ranges is not None
+                    and [int(start), int(end)] not in self.partial_ranges):
+                continue
             if self.pretrain:
                 start = max(start, end + 1 - self.window - self.aux_lang_loss_window)
             cnt = 0

@@ -18,7 +18,7 @@ these shapes well.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -193,7 +193,7 @@ class SAMImageEncoder(nn.Module):
 def import_sam_encoder(sd, depth: int = 12):
     """segment-anything `sam_vit_b` checkpoint (image_encoder.* keys or
     already-stripped) -> SAMImageEncoder params."""
-    from dreamvla_tpu.utils.torch_import import _Importer, strip_prefix
+    from dreamvla_tpu.utils.torch_import import _Importer
 
     if any(k.startswith("image_encoder.") for k in sd):
         sd = {k[len("image_encoder."):]: v for k, v in sd.items()

@@ -39,7 +39,8 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
                     logger: Optional[MetricLogger] = None,
                     log_every: int = 20,
                     save_every_iter: int = 0, ckpt_dir: Optional[str] = None,
-                    is_saver: bool = True):
+                    is_saver: bool = True,
+                    panel_every: int = 0, panel_dir: Optional[str] = None):
     cfg: DreamVLAConfig = model.cfg
     data_info.set_epoch(epoch)
     loader = data_info.dataloader
@@ -49,6 +50,15 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
     losses = None
     for i, batch in enumerate(loader):
         data_time.update(time.time() - end)
+        if (panel_every and logger is not None and is_saver
+                and i % panel_every == 0):
+            from dreamvla_tpu.train.panels import build_panels
+
+            rng, prng = jax.random.split(rng)
+            panels = build_panels(model, state.params, batch, prng)
+            if panels:
+                logger.log_images(panels, int(jax.device_get(state.step)),
+                                  save_dir=panel_dir)
         batch = device_batch(batch, tcfg.gradient_accumulation_steps)
         if mesh is not None:
             batch = shard_batch(mesh, batch)

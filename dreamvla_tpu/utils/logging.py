@@ -56,6 +56,26 @@ class MetricLogger:
         if self.wandb is not None:
             self.wandb.log(metrics, step=step)
 
+    def log_images(self, panels: Dict, step: int,
+                   save_dir: Optional[str] = None) -> None:
+        """pred-vs-label spot-check panels (train_utils.py:640-708 parity):
+        to wandb when configured, else PNGs under save_dir."""
+        if self.wandb is not None:
+            self.wandb.log({k: self.wandb.Image(v) for k, v in panels.items()},
+                           step=step)
+        elif save_dir:
+            import os
+
+            from PIL import Image
+
+            os.makedirs(save_dir, exist_ok=True)
+            for k, v in panels.items():
+                import numpy as np
+
+                arr = (np.clip(v, 0, 1) * 255).astype("uint8")
+                Image.fromarray(arr).save(
+                    os.path.join(save_dir, f"{step}_{k.replace('/', '_')}.png"))
+
 
 @contextlib.contextmanager
 def device_trace(log_dir: Optional[str]):

@@ -169,3 +169,20 @@ def test_clip_transform_range():
 
     want = (128 / 255 - CLIP_MEAN) / CLIP_STD
     np.testing.assert_allclose(out[0, :, 112, 112], want, atol=1e-3)
+
+
+def test_partial_data_filters_episodes(calvin_root):
+    ds_full = CalvinDataset(str(calvin_root), key="lang", window_size=4,
+                            act_step=2)
+    ds_part = CalvinDataset(str(calvin_root), key="lang", window_size=4,
+                            act_step=2, partial_data=True,
+                            partial_ranges=[[0, 19]])
+    assert len(ds_part) == len(ds_full) // 2
+    assert ds_part[0]["lang"] == "lift the red block"
+
+
+def test_text_aug_uses_enrich_pool(calvin_root):
+    pool = {"lift_red_block": ["grab the crimson cube"]}
+    ds = CalvinDataset(str(calvin_root), key="lang", window_size=4,
+                       act_step=2, text_aug=True, enrich_lang=pool)
+    assert ds[0]["lang"] == "grab the crimson cube"

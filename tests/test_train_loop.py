@@ -77,3 +77,33 @@ def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
 
     with ocp.CheckpointManager(str(tmp_path / "ck")) as mgr:
         assert mgr.all_steps() == [0]
+
+
+def test_panels_build(calvin_root, tmp_path):
+    from dreamvla_tpu.data.tokenizer import HashTokenizer
+    from dreamvla_tpu.train.panels import build_panels
+    from dreamvla_tpu.utils.logging import MetricLogger
+
+    cfg, tcfg = tiny_test()
+    cfg = dataclasses.replace(cfg, include_text_encoder=True)
+    tcfg = dataclasses.replace(tcfg, batch_size=2, window_size=6)
+    model = DreamVLA(cfg)
+    data = get_calvin_dataset(str(calvin_root.parent), batch_size=2,
+                              window_size=6, act_step=cfg.action_pred_steps,
+                              num_workers=1, image_size=cfg.image_size,
+                              tokenizer=HashTokenizer())
+    batch = next(iter(data.dataloader))
+    from dreamvla_tpu.parallel.train_step import create_train_state
+
+    state, _, _ = create_train_state(model, tcfg, batch,
+                                     jax.random.PRNGKey(0), total_steps=5)
+    panels = build_panels(model, state.params, batch, jax.random.PRNGKey(1))
+    assert "image/primary_pred_vs_label" in panels
+    assert "depth/primary_pred_vs_label" in panels
+    img = panels["image/primary_pred_vs_label"]
+    assert img.ndim == 3 and img.shape[-1] == 3
+    # PNG fallback path
+    MetricLogger().log_images(panels, step=0, save_dir=str(tmp_path / "p"))
+    import os
+
+    assert len(os.listdir(tmp_path / "p")) == len(panels)
