@@ -160,3 +160,25 @@ def test_remat_trunk_grads(tiny_inputs):
     gmax = max(jax.tree.leaves(jax.tree.map(
         lambda x: float(jnp.abs(x).max()), g["transformer_backbone"])))
     assert np.isfinite(gmax) and gmax > 0
+
+
+def test_mae_masking_and_reconstruction_path():
+    """Full MAE pretraining path: random masking keeps the right count,
+    the decoder unshuffles correctly, and the masked-patch loss is finite."""
+    from dreamvla_tpu.models.vit_mae import MaskedAutoencoderViT
+
+    mae = MaskedAutoencoderViT(img_size=32, patch_size=16, embed_dim=32,
+                               depth=1, num_heads=4, decoder_embed_dim=16,
+                               decoder_depth=1, decoder_num_heads=4,
+                               use_pallas=False)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 32, 32)).astype(np.float32))
+    variables = mae.init(jax.random.PRNGKey(0), imgs, 0.75,
+                         rng=jax.random.PRNGKey(1))
+    loss, pred, mask = mae.apply(variables, imgs, 0.75,
+                                 rng=jax.random.PRNGKey(2))
+    assert pred.shape == (2, 4, 16 * 16 * 3)
+    m = np.asarray(mask)
+    assert m.shape == (2, 4)
+    np.testing.assert_array_equal(m.sum(axis=1), [3, 3])  # 75% of 4 masked
+    assert np.isfinite(float(loss))
