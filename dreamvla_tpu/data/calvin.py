@@ -195,6 +195,18 @@ class CalvinDataset:
         return {k: np.stack([f[k] for f in frames]) for k in all_keys}
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        # corrupt-sample fallback: retry neighbouring windows (reference
+        # wraps episode loads in try/except, data_utils.py:1180-1214)
+        for attempt in range(3):
+            try:
+                return self._getitem_impl((idx + attempt) % len(self))
+            except Exception as e:  # zip/pickle/IO corruption comes in many shapes
+                if attempt == 2:
+                    raise
+                print(f"[calvin] sample {idx + attempt} unreadable ({e}); "
+                      "retrying neighbour", flush=True)
+
+    def _getitem_impl(self, idx: int) -> Dict[str, np.ndarray]:
         start = int(self.episode_lookup[idx])
         loaded = self._load_window_frames(start)
         sample: Dict[str, np.ndarray] = {k: loaded[k] for k in FRAME_KEYS}

@@ -186,3 +186,17 @@ def test_text_aug_uses_enrich_pool(calvin_root):
     ds = CalvinDataset(str(calvin_root), key="lang", window_size=4,
                        act_step=2, text_aug=True, enrich_lang=pool)
     assert ds[0]["lang"] == "grab the crimson cube"
+
+
+def test_corrupt_frame_fallback(calvin_root, capsys):
+    ds = CalvinDataset(str(calvin_root), key="lang", window_size=4, act_step=2)
+    # corrupt the first window's first frame; neighbour windows still load
+    victim = calvin_root / "episode_0000000.npz"
+    backup = victim.read_bytes()
+    try:
+        victim.write_bytes(b"corrupt")
+        s = ds[0]  # falls through to window starting at frame 1
+        assert s["rgb_static"].shape == (5, 200, 200, 3)
+        assert "retrying neighbour" in capsys.readouterr().out
+    finally:
+        victim.write_bytes(backup)
