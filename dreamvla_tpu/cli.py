@@ -89,7 +89,8 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--delete_previous_checkpoint", action="store_true")
     for flag in ("except_lang", "load_track_labels", "load_dino_features",
                  "load_sam_features", "merge_data", "text_aug", "partial_data",
-                 "eval_libero_ensembling", "diverse_inst", "validation"):
+                 "eval_libero_ensembling", "diverse_inst", "validation",
+                 "reset"):
         p.add_argument(f"--{flag}", action="store_true")
     p.add_argument("--track_label_path", default=None)
     p.add_argument("--dino_features_path", default=None)
@@ -284,7 +285,7 @@ def cmd_eval_calvin(args) -> None:
     model, params, mcfg = _restore_policy(args)
     policy = PolicyWrapper(model, params, env="calvin")
     evaluate_policy(policy, args.calvin_dataset, args.calvin_conf_path,
-                    diverse_inst=args.diverse_inst)
+                    diverse_inst=args.diverse_inst, reset=args.reset)
 
 
 def cmd_eval_libero(args) -> None:

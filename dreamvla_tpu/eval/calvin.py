@@ -62,7 +62,10 @@ def rollout(env, policy, task_oracle, subtask: str, lang: str) -> bool:
 
 
 def evaluate_sequence(env, policy, task_oracle, initial_state, sequence,
-                      val_annotations, diverse_inst=False, seq_idx=-1) -> int:
+                      val_annotations, diverse_inst=False, seq_idx=-1,
+                      reset: bool = False) -> int:
+    """reset=True re-resets the env to the sequence's initial condition
+    before every subtask (reference --reset, eval_utils_calvin.py:232-236)."""
     from calvin_agent.evaluation.multistep_sequences import (
         get_env_state_for_initial_condition)
 
@@ -70,6 +73,8 @@ def evaluate_sequence(env, policy, task_oracle, initial_state, sequence,
     env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
     successes = 0
     for i, subtask in enumerate(sequence):
+        if reset and i > 0:
+            env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
         if diverse_inst:
             lang = val_annotations[seq_idx][i]
         else:
@@ -83,7 +88,7 @@ def evaluate_sequence(env, policy, task_oracle, initial_state, sequence,
 
 
 def evaluate_policy(policy, dataset_path: str, calvin_conf_path: str,
-                    diverse_inst: bool = False,
+                    diverse_inst: bool = False, reset: bool = False,
                     num_sequences: int = NUM_SEQUENCES,
                     eval_sequences_path: Optional[str] = None,
                     process_index: Optional[int] = None,
@@ -120,7 +125,7 @@ def evaluate_policy(policy, dataset_path: str, calvin_conf_path: str,
     for j, (initial_state, sequence) in enumerate(local):
         res = evaluate_sequence(env, policy, task_oracle, initial_state,
                                 sequence, val_annotations, diverse_inst,
-                                seq_idx=rank * per + j)
+                                seq_idx=rank * per + j, reset=reset)
         results.append(res)
         rates = " ".join(f"{i+1}/5: {v*100:.1f}%"
                          for i, v in enumerate(count_success(results)))

@@ -64,8 +64,20 @@ def shard_batch(mesh: Mesh, batch, axis: str = "dp", batch_dim: int = 1):
     """Device-put a host batch dict sharded over `axis` at `batch_dim`.
 
     Default batch_dim=1 matches the train step's (accum, batch, ...) layout;
-    pass batch_dim=0 for plain batches.
+    pass batch_dim=0 for plain batches. Single-host only — on pods use
+    `global_batch_from_local` (each process holds its own shard).
     """
     spec = P(*([None] * batch_dim + [axis]))
     sh = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def global_batch_from_local(mesh: Mesh, local_batch, axis: str = "dp",
+                            batch_dim: int = 1):
+    """Assemble a global sharded batch from per-process local shards
+    (multi-host pods: each host's loader yields its ShardedSampler shard;
+    replaces the reference's DistributedSampler + per-rank tensors)."""
+    spec = P(*([None] * batch_dim + [axis]))
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), local_batch)
