@@ -244,7 +244,6 @@ def cmd_train(args) -> None:
 
 
 def _restore_policy(args):
-    from dreamvla_tpu.eval.policy import PolicyWrapper
     from dreamvla_tpu.models.dreamvla import DreamVLA
     from dreamvla_tpu.utils import torch_import as ti
     from dreamvla_tpu.utils.testing import make_synthetic_batch
