@@ -279,12 +279,17 @@ def _restore_policy(args):
 
 def cmd_eval_calvin(args) -> None:
     from dreamvla_tpu.eval.calvin import evaluate_policy
-    from dreamvla_tpu.eval.policy import PolicyWrapper
+    from dreamvla_tpu.eval.policy import BatchedPolicyWrapper, PolicyWrapper
 
     model, params, mcfg = _restore_policy(args)
     policy = PolicyWrapper(model, params, env="calvin")
+    batched = None
+    if args.parallel_envs > 1:
+        batched = BatchedPolicyWrapper(model, params,
+                                       batch=args.parallel_envs, env="calvin")
     evaluate_policy(policy, args.calvin_dataset, args.calvin_conf_path,
-                    diverse_inst=args.diverse_inst, reset=args.reset)
+                    diverse_inst=args.diverse_inst, reset=args.reset,
+                    parallel_envs=args.parallel_envs, batched_policy=batched)
 
 
 def cmd_eval_libero(args) -> None:

@@ -87,10 +87,105 @@ def evaluate_sequence(env, policy, task_oracle, initial_state, sequence,
     return successes
 
 
+class _SlotState:
+    """Per-env progress through one eval sequence (chain of 5 subtasks)."""
+
+    def __init__(self, seq_idx, initial_state, sequence):
+        self.seq_idx = seq_idx
+        self.initial_state = initial_state
+        self.sequence = list(sequence)
+        self.subtask_i = 0
+        self.successes = 0
+        self.step = 0
+        self.start_info = None
+        self.lang = None
+        self.done = False
+
+
+def evaluate_sequences_batched(envs, policy, task_oracle, work,
+                               val_annotations, diverse_inst: bool = False,
+                               ep_len: int = EP_LEN):
+    """Run the 5-subtask chain protocol over K envs with ONE batched policy.
+
+    envs: K simulator instances; policy: BatchedPolicyWrapper-compatible
+    (reset_slot / set_goal / step(obs_list, timesteps)); work: list of
+    (seq_idx, initial_state, sequence) items (consumed as slots free up).
+    Returns {seq_idx: successes}. Protocol semantics per slot match the
+    sequential driver (rollout cap 360, chain stops at first failure).
+    """
+    from calvin_agent.evaluation.multistep_sequences import (
+        get_env_state_for_initial_condition)
+
+    k = len(envs)
+    queue = list(work)[::-1]  # pop() takes from the front of `work`
+    slots = [None] * k
+    obs = [None] * k
+    results = {}
+
+    def annotation(slot):
+        if diverse_inst:
+            lang = val_annotations[slot.seq_idx][slot.subtask_i]
+        else:
+            lang = val_annotations[slot.sequence[slot.subtask_i]][0]
+        return lang.split("\n")[0].replace("’", "'")
+
+    def begin_rollout(i, new_sequence: bool):
+        slot = slots[i]
+        if new_sequence:
+            robot_obs, scene_obs = get_env_state_for_initial_condition(
+                slot.initial_state)
+            envs[i].reset(robot_obs=robot_obs, scene_obs=scene_obs)
+        slot.lang = annotation(slot)
+        slot.step = 0
+        policy.reset_slot(i)
+        policy.set_goal(i, slot.lang)
+        obs[i] = envs[i].get_obs()
+        slot.start_info = envs[i].get_info()
+
+    def load_next(i):
+        if queue:
+            slots[i] = _SlotState(*queue.pop())
+            begin_rollout(i, new_sequence=True)
+        else:
+            slots[i] = None
+
+    for i in range(k):
+        load_next(i)
+
+    while any(s is not None for s in slots):
+        steps = np.asarray([s.step if s else 0 for s in slots])
+        # idle/never-filled slots feed a placeholder obs; actions discarded
+        fallback = next(o for o in obs if o is not None)
+        obs_list = [o if o is not None else fallback for o in obs]
+        actions = policy.step(obs_list, steps)
+        for i in range(k):
+            slot = slots[i]
+            if slot is None:
+                continue
+            o, _, _, info = envs[i].step(actions[i])
+            obs[i] = o
+            slot.step += 1
+            subtask = slot.sequence[slot.subtask_i]
+            if task_oracle.get_task_info_for_set(slot.start_info, info,
+                                                 {subtask}):
+                slot.successes += 1
+                slot.subtask_i += 1
+                if slot.subtask_i >= len(slot.sequence):
+                    results[slot.seq_idx] = slot.successes
+                    load_next(i)
+                else:
+                    begin_rollout(i, new_sequence=False)
+            elif slot.step >= ep_len:
+                results[slot.seq_idx] = slot.successes
+                load_next(i)
+    return results
+
+
 def evaluate_policy(policy, dataset_path: str, calvin_conf_path: str,
                     diverse_inst: bool = False, reset: bool = False,
                     num_sequences: int = NUM_SEQUENCES,
                     eval_sequences_path: Optional[str] = None,
+                    parallel_envs: int = 1, batched_policy=None,
                     process_index: Optional[int] = None,
                     process_count: Optional[int] = None):
     """Shard the 1000 sequences over hosts, run, and gather to host 0."""
@@ -121,15 +216,27 @@ def evaluate_policy(policy, dataset_path: str, calvin_conf_path: str,
     per = len(sequences) // world
     local = sequences[rank * per:(rank + 1) * per]
 
-    results = []
-    for j, (initial_state, sequence) in enumerate(local):
-        res = evaluate_sequence(env, policy, task_oracle, initial_state,
-                                sequence, val_annotations, diverse_inst,
-                                seq_idx=rank * per + j, reset=reset)
-        results.append(res)
-        rates = " ".join(f"{i+1}/5: {v*100:.1f}%"
-                         for i, v in enumerate(count_success(results)))
-        print(f"[host {rank}] seq {j+1}/{per} | {rates}", flush=True)
+    if parallel_envs > 1 and batched_policy is not None:
+        assert not reset, "--reset is only supported in sequential eval"
+        extra_envs = [env] + [
+            get_env(Path(dataset_path) / "validation", show_gui=False)
+            for _ in range(parallel_envs - 1)]
+        work = [(rank * per + j, init, seq)
+                for j, (init, seq) in enumerate(local)]
+        res_map = evaluate_sequences_batched(
+            extra_envs, batched_policy, task_oracle, work, val_annotations,
+            diverse_inst=diverse_inst)
+        results = [res_map[rank * per + j] for j in range(per)]
+    else:
+        results = []
+        for j, (initial_state, sequence) in enumerate(local):
+            res = evaluate_sequence(env, policy, task_oracle, initial_state,
+                                    sequence, val_annotations, diverse_inst,
+                                    seq_idx=rank * per + j, reset=reset)
+            results.append(res)
+            rates = " ".join(f"{i+1}/5: {v*100:.1f}%"
+                             for i, v in enumerate(count_success(results)))
+            print(f"[host {rank}] seq {j+1}/{per} | {rates}", flush=True)
 
     if world > 1:
         from jax.experimental import multihost_utils

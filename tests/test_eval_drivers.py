@@ -103,3 +103,54 @@ def test_libero_task_rollout():
                          "goal", {"t": 0}) == 1
     assert evaluate_task(FakeLiberoEnv(done_at=10**9), FakePolicy(), 20,
                          "goal", {"t": 0}) == 0
+
+
+class FakeBatchedPolicy:
+    def __init__(self):
+        self.goals = {}
+
+    def reset_slot(self, i):
+        pass
+
+    def set_goal(self, i, g):
+        self.goals[i] = g
+
+    def step(self, obs_list, steps):
+        return np.zeros((len(obs_list), 7), np.float32)
+
+
+class FakeResettableEnv(FakeCalvinEnv):
+    pass
+
+
+def test_batched_calvin_chain_protocol(monkeypatch):
+    import sys
+
+    from dreamvla_tpu.eval.calvin import evaluate_sequences_batched
+
+    monkeypatch.setitem(
+        sys.modules, "calvin_agent.evaluation.multistep_sequences",
+        type("M", (), {"get_env_state_for_initial_condition":
+                       staticmethod(lambda s: (None, None))}))
+    # oracle: tasks 'a','b' solvable after 2 steps; others never
+    oracle = FakeOracle({"a", "b"}, after=2)
+    ann = {k: [f"do {k}"] for k in "abcd"}
+    work = [
+        (0, {}, ["a", "b", "c"]),   # 2 successes then fail
+        (1, {}, ["a", "a", "a"]),   # full chain: 3 successes
+        (2, {}, ["c", "a"]),        # immediate fail: 0
+    ]
+    envs = [FakeResettableEnv(), FakeResettableEnv()]
+    results = evaluate_sequences_batched(envs, FakeBatchedPolicy(), oracle,
+                                         work, ann, ep_len=10)
+    assert results == {0: 2, 1: 3, 2: 0}
+    # matches the sequential driver on the same work
+    import dreamvla_tpu.eval.calvin as C
+
+    seq_results = {}
+    for seq_idx, init, seq in work:
+        env, policy = FakeCalvinEnv(), FakePolicy()
+        n = C.evaluate_sequence(env, policy, oracle, init, seq, ann)
+        seq_results[seq_idx] = n
+    # NOTE: sequential rollout cap is EP_LEN=360; cap the comparison fairly
+    assert seq_results == {0: 2, 1: 3, 2: 0}
