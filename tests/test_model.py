@@ -182,3 +182,27 @@ def test_mae_masking_and_reconstruction_path():
     assert m.shape == (2, 4)
     np.testing.assert_array_equal(m.sum(axis=1), [3, 3])  # 75% of 4 masked
     assert np.isfinite(float(loss))
+
+
+def test_flow_matching_head_train_and_sample(tiny_inputs):
+    cfg, _ = tiny_test()
+    cfg = dataclasses.replace(cfg, use_dit_head=True, use_fm=True,
+                              dit_type="DiT-S")
+    model, variables = init_model(cfg, tiny_inputs)
+    out = model.apply(variables, mode="train", train=False, **tiny_inputs,
+                      rngs={"diffusion": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(out.dit_loss))
+
+    out_t = model.apply(variables, mode="test", train=False, **tiny_inputs)
+    z = out_t.action_features
+    b, s, aps, h = z.shape
+    head = ActionDiffusionHead(
+        DreamVLA(cfg).action_diffusion_config(),
+        __import__("dreamvla_tpu.models.dit", fromlist=["build_dit"]).build_dit(
+            DreamVLA(cfg).action_diffusion_config()))
+    assert head.cfg.flow_matching
+    samples = head.sample(variables["params"]["action_model"],
+                          z.reshape(b * s, aps, h).astype(jnp.float32),
+                          jax.random.PRNGKey(4))
+    assert samples.shape == (b * s, aps, 7)
+    assert np.isfinite(np.asarray(samples)).all()

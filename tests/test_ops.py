@@ -177,3 +177,17 @@ def test_random_shift_matches_torch_grid_sample_semantics():
     from dreamvla_tpu.ops.augment import _shift_one
     got = np.asarray(_shift_one(jnp.asarray(x[0]), jnp.asarray([3, 1]), pad))
     np.testing.assert_allclose(got, want[0], atol=1e-5)
+
+
+def test_pallas_multi_tile_query_path():
+    """lq > 512 exercises the multi-q-tile grid (and the bias-resident
+    ordering) in interpreter mode."""
+    rng = np.random.default_rng(9)
+    q, k, v = _rand_qkv(rng, b=1, h=2, lq=600, lk=600, d=64)
+    bias = np.where(rng.random((600, 600)) < 0.4, -1e9, 0.0).astype(np.float32)
+    bias[:, 0] = 0.0
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias))
+    want = mha_reference(*args)
+    from dreamvla_tpu.ops.attention import _flash_fwd_impl
+    got = _flash_fwd_impl(*args, scale=64**-0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
