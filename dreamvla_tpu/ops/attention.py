@@ -127,22 +127,103 @@ def _flash_attention_fwd(q, k, v, bias, scale):
     return _flash_fwd_impl(q, k, v, bias, scale), (q, k, v, bias)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
+                q_tile: int):
+    """Flash backward for one (batch*head): rematerialise scores per q-tile,
+    accumulate dk/dv (per bh) and dbias (across bh) in the output refs,
+    write dq per tile. Keeps all L x L intermediates in VMEM — the XLA
+    fallback materialises four of them in HBM per layer."""
+    i = pl.program_id(0)
+    bh = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    @pl.when(bh == 0)
+    def _():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
+
+    q = q_ref[0].astype(jnp.float32)  # (TQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (Lk, D)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)  # (TQ, D)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale + bias_ref[:].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (TQ, Lk)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dk_ref[0] += (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale)
+    dv_ref[0] += jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dbias_ref[:] += ds
+
+
+def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    q_tile = min(_Q_TILE_MAX, _round_up(lq, _LANE))
+    lq_pad = _round_up(lq, q_tile)
+    lk_pad = _round_up(lk, _LANE)
+    d_pad = _round_up(d, _LANE)
+
+    pad3 = lambda t, l: jnp.pad(  # noqa: E731
+        t, ((0, 0), (0, 0), (0, l - t.shape[2]), (0, d_pad - d)))
+    qp = pad3(q, lq_pad).reshape(b * h, lq_pad, d_pad)
+    kp = pad3(k, lk_pad).reshape(b * h, lk_pad, d_pad)
+    vp = pad3(v, lk_pad).reshape(b * h, lk_pad, d_pad)
+    gp = pad3(g, lq_pad).reshape(b * h, lq_pad, d_pad)
+    if bias is None:
+        bias = jnp.zeros((lq, lk), jnp.float32)
+    bp = jnp.pad(bias.astype(jnp.float32),
+                 ((0, lq_pad - lq), (0, lk_pad - lk)),
+                 constant_values=-1.0e9)
+
+    grid = (lq_pad // q_tile, b * h)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, q_tile=q_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
+            pl.BlockSpec((q_tile, lk_pad), lambda i, bh: (i, 0)),
+            pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
+            pl.BlockSpec((q_tile, lk_pad), lambda i, bh: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((lq_pad, lk_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, bp, gp)
+    dq = dq.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
+    dk = dk.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d].astype(k.dtype)
+    dv = dv.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d].astype(v.dtype)
+    return dq, dk, dv, dbias[:lq, :lk]
+
+
 def _flash_attention_bwd(scale, res, g):
     q, k, v, bias = res
-    # Rematerialised XLA backward: standard softmax-attention gradients.
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    s = s * scale
-    if bias is not None:
-        s = s + bias.astype(jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32).astype(v.dtype)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = (jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale).astype(q.dtype)
-    dk = (jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale).astype(k.dtype)
-    dbias = None if bias is None else jnp.sum(ds, axis=(0, 1)).astype(bias.dtype)
-    return dq, dk, dv, dbias
+    dq, dk, dv, dbias = _flash_bwd_impl(q, k, v, bias, g, scale)
+    return dq, dk, dv, (None if bias is None else dbias.astype(bias.dtype))
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -163,10 +244,12 @@ def multi_head_attention(
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
     if use_pallas is None:
-        # The kernel wins at trunk-scale lengths (measured 0.76ms vs 1.13ms
-        # at L=930 on v5e); at tiny L (DiT tokens, resampler latents) the
-        # 128-lane padding wastes MXU and XLA's fusion is faster.
-        use_pallas = is_tpu_backend() and q.shape[2] >= 256
+        # The kernel wins whenever scores are big enough to cost HBM traffic
+        # (profiled: XLA's fp32 score materialisation costs ~0.8ms/layer for
+        # the MAE encoder at L=197); at tiny Lq (DiT tokens, resampler
+        # latents, CLIP) the 128-lane padding wastes MXU and XLA's fusion
+        # wins. Threshold: query length >= 128.
+        use_pallas = is_tpu_backend() and q.shape[2] >= 128
     if use_pallas:
         return _flash_attention(q, k, v, bias, scale)
     return mha_reference(q, k, v, bias, scale)

@@ -191,3 +191,25 @@ def test_pallas_multi_tile_query_path():
     from dreamvla_tpu.ops.attention import _flash_fwd_impl
     got = _flash_fwd_impl(*args, scale=64**-0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_backward_kernel_matches_autodiff():
+    """Pallas flash backward (interpret mode) vs autodiff of the reference."""
+    from dreamvla_tpu.ops.attention import _flash_bwd_impl
+
+    rng = np.random.default_rng(10)
+    q, k, v = _rand_qkv(rng, b=1, h=3, lq=200, lk=200, d=64)
+    bias = np.where(rng.random((200, 200)) < 0.3, -1e9, 0.0).astype(np.float32)
+    bias[:, 0] = 0.0
+    g = rng.normal(size=q.shape).astype(np.float32)
+    args = tuple(map(jnp.asarray, (q, k, v, bias)))
+
+    def fwd(q, k, v, bias):
+        return jnp.sum(mha_reference(q, k, v, bias) * jnp.asarray(g))
+
+    want = jax.grad(fwd, argnums=(0, 1, 2, 3))(*args)
+    got = _flash_bwd_impl(*args, jnp.asarray(g), scale=64**-0.5,
+                          interpret=True)
+    for a, b, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=name)
