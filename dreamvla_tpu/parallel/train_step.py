@@ -139,6 +139,13 @@ def build_train_step(model: DreamVLA, tcfg: TrainConfig, tx,
 
     def local_grads(params, batch, rng):
         accum = batch["states"].shape[0]
+        if accum == 1:
+            # no accumulation: skip the zero-init + add of a full
+            # gradient buffer (~2 extra params-sized HBM passes)
+            mb = jax.tree.map(lambda x: x[0], batch)
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, rng)
+            return grads, losses
 
         def micro(carry, xs):
             grads_acc, losses_acc = carry
