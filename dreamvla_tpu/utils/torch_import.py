@@ -195,7 +195,10 @@ def import_dit(sd: Dict[str, np.ndarray], depth: int, prefix: str = "net."
                ) -> Tuple[Dict, List[str], List[str]]:
     im = _Importer(sd)
     im.dense(f"{prefix}x_embedder.linear", ("x_embedder",))
-    im.dense(f"{prefix}history_embedder.linear", ("history_embedder",))
+    if im.has(f"{prefix}history_embedder.linear.weight"):
+        # defined-but-never-called in the reference (action history unused,
+        # models.py:109-117) — our flax tree only creates it if exercised
+        im.dense(f"{prefix}history_embedder.linear", ("history_embedder",))
     im.dense(f"{prefix}t_embedder.mlp.0", ("t_embedder", "mlp_0"))
     im.dense(f"{prefix}t_embedder.mlp.2", ("t_embedder", "mlp_2"))
     im.dense(f"{prefix}z_embedder.linear", ("z_embedder",))
