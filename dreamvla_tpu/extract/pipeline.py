@@ -107,20 +107,33 @@ class CoTrackerExtractor:
     The reference tracks a 28x28 point grid between frame t and t+frame_gap
     with CoTracker3 and stores per-frame {tracks (784, 2) deltas,
     visibility (784,)} with zero-filled tails
-    (data_process/cotrack_extractor.py:296-330). Plug a real tracker in via
-    `track_fn(frames (T,H,W,3), grid) -> (tracks (T,G,2), vis (T,G))`;
-    without one, labels are zero (flow losses then vanish, matching tail
-    behaviour) so the pipeline stays runnable end-to-end.
+    (data_process/cotrack_extractor.py:296-330). Backends, by `track_fn`:
+
+      * "cotracker3" — the full CoTracker3-offline port
+        (extract/cotracker3.py); pass `checkpoint_path` for the released
+        `scaled_offline.pth` weights (exact reference parity);
+      * "lk" — the weights-free pyramidal Lucas-Kanade fallback;
+      * any callable `track_fn(frames (T,H,W,3), grid) ->
+        (tracks (T,G,2), vis (T,G))`;
+      * None — zero labels (flow losses vanish, matching tail behaviour)
+        so the pipeline stays runnable end-to-end.
     """
 
     def __init__(self, grid: int = 28, frame_gap: int = 5,
-                 track_fn: Optional[Callable] = None):
+                 track_fn: Optional[Callable] = None,
+                 checkpoint_path: Optional[str] = None):
         self.grid = grid
         self.frame_gap = frame_gap
         if track_fn == "lk":
             from dreamvla_tpu.extract.flow_tracker import lk_grid_track_fn
 
             track_fn = lambda f, g: lk_grid_track_fn(f, g, frame_gap)  # noqa: E731
+        elif track_fn == "cotracker3" or (track_fn is None
+                                          and checkpoint_path):
+            from dreamvla_tpu.extract.cotracker3 import CoTracker3GridTracker
+
+            track_fn = CoTracker3GridTracker(checkpoint_path,
+                                             frame_gap=frame_gap)
         self.track_fn = track_fn
 
     def __call__(self, frames_uint8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
