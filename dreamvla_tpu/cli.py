@@ -70,7 +70,24 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--calvin_dataset", default="")
     p.add_argument("--libero_path", default="")
     p.add_argument("--libero_suite", default="libero_90_converted")
-    p.add_argument("--finetune_type", default="calvin")
+    p.add_argument("--finetune_type", default="calvin",
+                   help="calvin|droid|libero_pretrain|libero_finetune|"
+                        "oxe|real (reference train.py:98-109)")
+    p.add_argument("--root_dir", default="",
+                   help="droid/oxe/real per-step dataset root (reference "
+                        "arguments_utils.py:167)")
+    p.add_argument("--dataset_info", default="droid_success",
+                   help="data_info index name for droid (reference "
+                        "arguments_utils.py:191)")
+    p.add_argument("--real_dataset_names", default=None,
+                   help="real-robot dataset name (reference "
+                        "arguments_utils.py:279)")
+    # pretrain->finetune surgery (reference arguments_utils.py:239-244,
+    # used by scripts/CALVIN_ABC_D/DreamVLA/finetune.sh:58-59)
+    for flag in ("reset_action_token", "reset_obs_token", "reset_mask_token",
+                 "reset_image_decoder", "reset_action_decoder",
+                 "reset_resampler"):
+        p.add_argument(f"--{flag}", action="store_true")
     p.add_argument("--save_checkpoint_path", default="checkpoints/run")
     p.add_argument("--run_name", default="dreamvla_tpu")
     p.add_argument("--resume_from_checkpoint", default=None)
@@ -195,6 +212,20 @@ def cmd_train(args) -> None:
             load_track_labels=args.load_track_labels,
             load_dino_features=args.load_dino_features,
             load_sam_features=args.load_sam_features, **common)
+    elif args.finetune_type == "droid":
+        from dreamvla_tpu.data.droid_oxe import get_droid_dataset
+
+        data = get_droid_dataset(args.root_dir, ["droid_success"],
+                                 args.dataset_info, **common)
+    elif args.finetune_type == "oxe":
+        from dreamvla_tpu.data.droid_oxe import OXE_DATASET_NAMES, get_oxe_dataset
+
+        data = get_oxe_dataset(args.root_dir, OXE_DATASET_NAMES, **common)
+    elif args.finetune_type == "real":
+        from dreamvla_tpu.data.droid_oxe import get_real_dataset
+
+        data = get_real_dataset(args.root_dir, [args.real_dataset_names],
+                                args.real_dataset_names, **common)
     else:
         raise ValueError(f"unsupported finetune_type {args.finetune_type}")
 
@@ -210,7 +241,15 @@ def cmd_train(args) -> None:
     if args.finetune_from_pretrained_ckpt:
         sd = ti.load_torch_state_dict(args.finetune_from_pretrained_ckpt)
         tree, _, _ = ti.import_dreamvla(sd, mcfg)
-        params = finetune_surgery(tree, params, mcfg.sequence_length)
+        params = finetune_surgery(
+            tree, params, mcfg.sequence_length,
+            reset_action_token=args.reset_action_token,
+            reset_obs_token=args.reset_obs_token,
+            reset_mask_token=args.reset_mask_token,
+            reset_image_decoder=args.reset_image_decoder,
+            reset_action_decoder=args.reset_action_decoder,
+            reset_resampler=args.reset_resampler,
+            share_query=mcfg.share_query)
     state = state.replace(params=params)
     resume_epoch = 0
     if args.resume_from_checkpoint:
@@ -317,7 +356,169 @@ def cmd_eval_libero(args) -> None:
                     batched_policy=batched)
 
 
-def main(argv=None) -> None:
+# --------------------------------------------------------------- offline
+# pipeline subcommands — one per reference doc step
+# (docs/CALVIN_ABC-D_RUN.md:19-46, docs/LIBERO_RUN.md:19-33)
+def _add_extract_flags(p: argparse.ArgumentParser, tracks: bool = False
+                       ) -> None:
+    p.add_argument("--data_root", required=True,
+                   help="CALVIN root (containing <split>/) or a converted "
+                        "per-step tree (--layout tree)")
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--split", default="training")
+    p.add_argument("--image_key", default="rgb_static")
+    p.add_argument("--layout", default="calvin", choices=("calvin", "tree"),
+                   help="calvin: episode_XXXXXXX.npz files; tree: "
+                        "episodes/<id>/steps/<0000>/ jpgs (LIBERO/DROID)")
+    p.add_argument("--checkpoint", default=None,
+                   help="released torch weights (sam_vit_b / dinov2_vitb14 "
+                        "/ scaled_offline.pth); random weights if omitted")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--except_lang", action="store_true")
+    p.add_argument("--override_exist_files", action="store_true")
+    p.add_argument("--process_index", type=int, default=None,
+                   help="work-striping rank (defaults to jax.process_index)")
+    p.add_argument("--process_count", type=int, default=None)
+    if tracks:
+        p.add_argument("--frame_gap", type=int, default=5)
+        p.add_argument("--patch_size", type=int, default=8)
+        p.add_argument("--tracker", default="cotracker3",
+                       choices=("cotracker3", "lk"))
+
+
+def _striping(args):
+    if args.process_index is not None:
+        return args.process_index, args.process_count or 1
+    return jax.process_index(), jax.process_count()
+
+
+def cmd_extract_features(args, kind: str) -> None:
+    from dreamvla_tpu.extract.pipeline import (DinoFeatureExtractor,
+                                               SamFeatureExtractor)
+
+    extractor = (SamFeatureExtractor(args.checkpoint) if kind == "sam"
+                 else DinoFeatureExtractor(args.checkpoint))
+    pi, pc = _striping(args)
+    if args.layout == "calvin":
+        from dreamvla_tpu.extract.calvin_walk import extract_calvin_features
+
+        n = extract_calvin_features(
+            args.data_root, extractor, args.save_path,
+            image_key=args.image_key, split=args.split,
+            batch_size=args.batch_size, except_lang=args.except_lang,
+            skip_existing=not args.override_exist_files,
+            process_index=pi, process_count=pc)
+    else:
+        from dreamvla_tpu.extract.libero_tree import extract_feature_tree
+
+        key = ("image_primary" if args.image_key == "rgb_static"
+               else args.image_key)
+        n = extract_feature_tree(
+            args.data_root, extractor, feature_name=args.save_path,
+            image_key=key, batch_size=args.batch_size,
+            skip_existing=not args.override_exist_files,
+            process_index=pi, process_count=pc)
+    print(f"{kind}: wrote {n} frames")
+
+
+def _make_track_fn(args, grid: int):
+    if args.tracker == "cotracker3":
+        from dreamvla_tpu.extract.cotracker3 import CoTracker3GridTracker
+
+        return CoTracker3GridTracker(args.checkpoint,
+                                     frame_gap=args.frame_gap)
+    from dreamvla_tpu.extract.flow_tracker import lk_grid_track_fn
+
+    return lambda f, g: lk_grid_track_fn(f, g, args.frame_gap)
+
+
+def cmd_extract_tracks(args) -> None:
+    grid = 224 // args.patch_size
+    track_fn = _make_track_fn(args, grid)
+    pi, pc = _striping(args)
+    if args.layout == "calvin":
+        from dreamvla_tpu.extract.calvin_walk import extract_calvin_tracks
+
+        n = extract_calvin_tracks(
+            args.data_root, track_fn, args.save_path,
+            image_key=args.image_key, split=args.split, grid=grid,
+            frame_gap=args.frame_gap, except_lang=args.except_lang,
+            skip_existing=not args.override_exist_files,
+            process_index=pi, process_count=pc)
+    else:
+        raise SystemExit("tree-layout track extraction: use convert_libero "
+                         "then extract with --layout calvin on the episode "
+                         "tree (cotrack_extractor_libero.py parity is via "
+                         "extract/libero_tree.py)")
+    print(f"tracks: wrote {n} frames")
+
+
+def cmd_merge_features(args) -> None:
+    from dreamvla_tpu.extract.pipeline import merge_features_into_episodes
+
+    feature_dirs, key_map = {}, {}
+    pairs = (("dino_static", args.dino_path, "rgb_static"),
+             ("dino_gripper", args.dino_path, "rgb_gripper"),
+             ("sam_static", args.sam_path, "rgb_static"),
+             ("sam_gripper", args.sam_path, "rgb_gripper"),
+             ("traj_static", args.track_path, "rgb_static"),
+             ("traj_gripper", args.track_path, "rgb_gripper"))
+    import os
+
+    for npz_key, base, img_key in pairs:
+        if base:
+            src = os.path.join(base, img_key, args.split)
+            feature_dirs[npz_key] = src
+            key_map[npz_key] = npz_key
+    n = merge_features_into_episodes(
+        os.path.join(args.data_root, args.split), feature_dirs,
+        os.path.join(args.out_dir, args.split), key_map)
+    print(f"merged {n} episodes")
+
+
+def cmd_rebuild_tracks(args) -> None:
+    from dreamvla_tpu.extract.libero_tree import (find_bad_track_files,
+                                                  rebuild_track_files)
+
+    bad = (open(args.bad_list).read().split() if args.bad_list
+           else find_bad_track_files(args.track_root))
+    print(f"found {len(bad)} bad track files")
+    if not bad:
+        return
+    grid = 224 // args.patch_size
+    if args.data_root:
+        # real repair (reference rebuild_bad_npz.py:107-154): drop the
+        # corrupt files and re-track their episodes from source frames
+        import os
+
+        from dreamvla_tpu.extract.calvin_walk import extract_calvin_tracks
+
+        for p in bad:
+            os.remove(p)
+        track_fn = _make_track_fn(args, grid)
+        n = extract_calvin_tracks(
+            args.data_root, track_fn, args.track_root,
+            image_key=args.image_key, split=args.split, grid=grid,
+            frame_gap=args.frame_gap, skip_existing=True)
+    else:  # no source frames available: zero-fill placeholders
+        from dreamvla_tpu.extract.pipeline import CoTrackerExtractor
+
+        tracker = CoTrackerExtractor(grid=grid, frame_gap=args.frame_gap,
+                                     track_fn=None)
+        n = rebuild_track_files(bad, tracker, grid=grid)
+    print(f"rebuilt {n} files")
+
+
+def cmd_convert_libero(args) -> None:
+    from dreamvla_tpu.data.convert_libero import convert_suite
+
+    pi, pc = _striping(args)
+    name = convert_suite(args.src_dir, args.tgt_dir, args.suite_name,
+                         process_index=pi, process_count=pc)
+    print(f"converted suite -> {name}")
+
+
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser("dreamvla_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
     for name in ("train", "eval_calvin", "eval_libero"):
@@ -325,9 +526,59 @@ def main(argv=None) -> None:
         _add_model_flags(p)
         _add_train_flags(p)
         _add_io_flags(p)
-    args = parser.parse_args(argv)
+    for name in ("extract_sam", "extract_dino"):
+        _add_extract_flags(sub.add_parser(name))
+    _add_extract_flags(sub.add_parser("extract_tracks"), tracks=True)
+
+    p = sub.add_parser("merge_features",
+                       help="repack sidecar features/tracks into episode "
+                            "npz files (reference merge_sam_dino.py / "
+                            "merge_track.py)")
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--split", default="training")
+    p.add_argument("--dino_path", default=None)
+    p.add_argument("--sam_path", default=None)
+    p.add_argument("--track_path", default=None)
+
+    p = sub.add_parser("rebuild_tracks",
+                       help="repair corrupt track npz files (reference "
+                            "rebuild_bad_npz.py)")
+    p.add_argument("--track_root", required=True,
+                   help="track save root (bad files are searched under it)")
+    p.add_argument("--bad_list", default=None)
+    p.add_argument("--data_root", default=None,
+                   help="CALVIN root with source frames: enables real "
+                        "re-tracking instead of zero-fill")
+    p.add_argument("--image_key", default="rgb_static")
+    p.add_argument("--split", default="training")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tracker", default="cotracker3",
+                   choices=("cotracker3", "lk"))
+    p.add_argument("--frame_gap", type=int, default=3)
+    p.add_argument("--patch_size", type=int, default=8)
+
+    p = sub.add_parser("convert_libero",
+                       help="LIBERO HDF5 demos -> per-step directory tree "
+                            "(reference utils/convert_libero_per_step.py)")
+    p.add_argument("--src_dir", required=True)
+    p.add_argument("--tgt_dir", required=True)
+    p.add_argument("--suite_name", required=True)
+    p.add_argument("--process_index", type=int, default=None)
+    p.add_argument("--process_count", type=int, default=None)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
     {"train": cmd_train, "eval_calvin": cmd_eval_calvin,
-     "eval_libero": cmd_eval_libero}[args.command](args)
+     "eval_libero": cmd_eval_libero,
+     "extract_sam": lambda a: cmd_extract_features(a, "sam"),
+     "extract_dino": lambda a: cmd_extract_features(a, "dino"),
+     "extract_tracks": cmd_extract_tracks,
+     "merge_features": cmd_merge_features,
+     "rebuild_tracks": cmd_rebuild_tracks,
+     "convert_libero": cmd_convert_libero}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -166,8 +166,16 @@ class CalvinDataset:
         return t.to(torch.float32).numpy()
 
     def _load_track(self, file_idx: int, cam: str) -> Dict[str, np.ndarray]:
-        path = os.path.join(self.track_path, "validation" if self.validation
-                            else "training", f"{file_idx}_{cam}.npz")
+        split = "validation" if self.validation else "training"
+        # reference layout: <save_path>/<image_key>/<split>/{idx}.npz
+        # (cotrack_extractor.py:134, :309) — also what our extract CLI
+        # writes; fall back to the flat {idx}_{cam}.npz layout.
+        img_key = {"static": "rgb_static", "gripper": "rgb_gripper"}[cam]
+        path = os.path.join(self.track_path, img_key, split,
+                            f"{file_idx}.npz")
+        if not os.path.exists(path):
+            path = os.path.join(self.track_path, split,
+                                f"{file_idx}_{cam}.npz")
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
 

@@ -44,6 +44,22 @@ OXE_10X_SCALED = {
 OXE_NO_JOINTS = {"berkeley_autolab_ur5", "berkeley_fanuc_manipulation",
                  "jaco_play"}
 
+# the reference's OXE mixture (data_utils.py:3508-3525)
+OXE_DATASET_NAMES = (
+    "berkeley_autolab_ur5",
+    "jaco_play",
+    "iamlab_cmu_pickup_insert_converted_externally_to_rlds",
+    "viola",
+    "stanford_hydra_dataset_converted_externally_to_rlds",
+    "berkeley_fanuc_manipulation",
+    "austin_buds_dataset_converted_externally_to_rlds",
+    "utaustin_mutex",
+    "taco_play",
+    "austin_sailor_dataset_converted_externally_to_rlds",
+    "austin_sirius_dataset_converted_externally_to_rlds",
+    "furniture_bench_dataset_converted_externally_to_rlds",
+)
+
 
 class PerStepDataset:
     """Shared episodes/<id>/steps/<%04d> reader for DROID + OXE."""

@@ -176,12 +176,33 @@ def atomic_save_npy(path: str, arr: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
+def _load_sidecar(base_dir: str, idx: int):
+    """Per-frame sidecar artifact in any of the pipeline's formats:
+    .npy, torch-bf16 .pt (reference sam/dino extractors), or track .npz
+    {tracks, visibility}. Returns (array, visibility-or-None) or None."""
+    npy = os.path.join(base_dir, f"{idx}.npy")
+    if os.path.exists(npy):
+        return np.load(npy), None
+    pt = os.path.join(base_dir, f"{idx}.pt")
+    if os.path.exists(pt):
+        import torch
+
+        return torch.load(pt, map_location="cpu").to(
+            torch.float32).numpy(), None
+    npz = os.path.join(base_dir, f"{idx}.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as z:
+            return z["tracks"], z["visibility"]
+    return None
+
+
 def merge_features_into_episodes(episode_dir: str, feature_dirs, out_dir: str,
                                  key_map) -> int:
     """Repack sidecar per-frame features into the episode npz files
-    (reference merge_sam_dino.py / merge_track.py): for each
-    episode_XXXXXXX.npz, add {new_key: feature_dirs[src]/<idx>.npy} and
-    atomically rewrite. key_map: {npz_key: feature_dir_key}."""
+    (reference merge_sam_dino.py:15-31 / merge_track.py:14-28): for each
+    episode_XXXXXXX.npz, add {new_key: sidecar artifact} and atomically
+    rewrite. key_map: {npz_key: feature_dir_key}. Track sidecars (.npz)
+    also emit the paired `visibility_*` key as the reference does."""
     import re
     from pathlib import Path
 
@@ -191,9 +212,13 @@ def merge_features_into_episodes(episode_dir: str, feature_dirs, out_dir: str,
         with np.load(f, allow_pickle=True) as z:
             data = {k: z[k] for k in z.files}
         for npz_key, src in key_map.items():
-            feat = os.path.join(feature_dirs[src], f"{idx}.npy")
-            if os.path.exists(feat):
-                data[npz_key] = np.load(feat)
+            loaded = _load_sidecar(feature_dirs[src], idx)
+            if loaded is None:
+                continue
+            feat, vis = loaded
+            data[npz_key] = feat
+            if vis is not None:
+                data[npz_key.replace("traj", "visibility")] = vis
         out = Path(out_dir) / f.name
         os.makedirs(out_dir, exist_ok=True)
         tmp = str(out) + ".tmp"

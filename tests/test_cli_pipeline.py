@@ -1,0 +1,207 @@
+"""Offline-pipeline CLI subcommands + CALVIN walkers + train-CLI flags.
+
+Covers the reference's launchable offline stage (docs/CALVIN_ABC-D_RUN.md
+:19-46: cotrack/sam/dino extractors, merge, rebuild) and the flagship
+finetune.sh flag set (scripts/CALVIN_ABC_D/DreamVLA/finetune.sh:8-61)."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dreamvla_tpu import cli
+from dreamvla_tpu.extract.calvin_walk import (calvin_frame_indices,
+                                              extract_calvin_features,
+                                              extract_calvin_tracks,
+                                              lang_episode_ranges)
+
+
+@pytest.fixture()
+def calvin_root(tmp_path):
+    """Fabricated CALVIN tree: 10 frames, lang ranges (0,6) and (7,9)."""
+    root = tmp_path / "calvin"
+    split = root / "training"
+    split.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        np.savez(split / f"episode_{i:07d}.npz",
+                 rgb_static=rng.randint(0, 255, (32, 32, 3), np.uint8),
+                 rgb_gripper=rng.randint(0, 255, (24, 24, 3), np.uint8),
+                 depth_static=rng.rand(32, 32).astype(np.float32),
+                 depth_gripper=rng.rand(24, 24).astype(np.float32),
+                 rel_actions=rng.rand(7).astype(np.float32),
+                 robot_obs=rng.rand(15).astype(np.float32))
+    (split / "lang_annotations").mkdir()
+    ann = {"info": {"indx": [(0, 6), (7, 9)]},
+           "language": {"ann": ["task a", "task b"],
+                        "task": ["a", "b"],
+                        "emb": np.zeros((2, 1, 384), np.float32)}}
+    np.save(split / "lang_annotations" / "auto_lang_ann.npy", ann)
+    return str(root)
+
+
+def fake_extractor(frames):
+    """(N, H, W, 3) -> (N, 4, 6) deterministic features."""
+    return np.stack([np.full((4, 6), f.mean(), np.float32) for f in frames])
+
+
+def test_calvin_walk_indices(calvin_root):
+    assert lang_episode_ranges(calvin_root) == [(0, 6), (7, 9)]
+    assert calvin_frame_indices(calvin_root) == list(range(10))
+
+
+def test_extract_calvin_features_pt_roundtrip(calvin_root, tmp_path):
+    import torch
+
+    save = str(tmp_path / "feat")
+    n = extract_calvin_features(calvin_root, fake_extractor, save,
+                                batch_size=4)
+    assert n == 10
+    t = torch.load(os.path.join(save, "rgb_static", "training", "3.pt"))
+    assert t.dtype == torch.bfloat16 and t.shape == (4, 6)
+    # skip-existing resume behaviour
+    assert extract_calvin_features(calvin_root, fake_extractor, save) == 0
+    # striping splits the work
+    n0 = extract_calvin_features(calvin_root, fake_extractor,
+                                 str(tmp_path / "s"), process_index=0,
+                                 process_count=2)
+    n1 = extract_calvin_features(calvin_root, fake_extractor,
+                                 str(tmp_path / "s"), process_index=1,
+                                 process_count=2)
+    assert n0 + n1 == 10
+
+
+def fake_track_fn(frames, grid):
+    t = len(frames)
+    n = grid * grid
+    tracks = np.ones((t, n, 2), np.float32)
+    vis = np.ones((t, n), np.float32)
+    return tracks, vis
+
+
+def test_extract_calvin_tracks_tail_convention(calvin_root, tmp_path):
+    save = str(tmp_path / "trk")
+    n = extract_calvin_tracks(calvin_root, fake_track_fn, save, grid=4,
+                              frame_gap=2)
+    assert n == 10
+    out = Path(save) / "rgb_static" / "training"
+    with np.load(out / "0.npz") as z:  # lead frame: real deltas
+        assert z["tracks"].shape == (16, 2) and (z["tracks"] == 1).all()
+        assert z["visibility"].dtype == bool and z["visibility"].all()
+    with np.load(out / "6.npz") as z:  # tail of (0,6): zeros + all-visible
+        assert (z["tracks"] == 0).all() and z["visibility"].all()
+    # short episode (7,9) with gap 2: frame 7 leads, 8-9 are tails
+    with np.load(out / "8.npz") as z:
+        assert (z["tracks"] == 0).all() and z["visibility"].all()
+
+
+def test_loader_reads_reference_track_layout(calvin_root, tmp_path):
+    """DiskCalvinDataset consumes the CLI extractor's artifacts."""
+    from dreamvla_tpu.data.calvin import CalvinDataset
+
+    save = str(tmp_path / "trk")
+    for key in ("rgb_static", "rgb_gripper"):
+        extract_calvin_tracks(calvin_root, fake_track_fn, save, grid=4,
+                              image_key=key, frame_gap=2)
+    ds = CalvinDataset(os.path.join(calvin_root, "training"),
+                       key="lang", window_size=3, act_step=1,
+                       load_track_labels=True, track_label_path=save)
+    sample = ds[0]
+    assert sample["tracks"].shape == (3, 16, 2)
+    assert sample["track_vis"].shape == (3, 16)
+    assert sample["tracks_gripper"].shape == (3, 16, 2)
+
+
+def test_cli_extract_tracks_lk_end_to_end(calvin_root, tmp_path):
+    save = str(tmp_path / "trk_lk")
+    cli.main(["extract_tracks", "--data_root", calvin_root,
+              "--save_path", save, "--tracker", "lk", "--patch_size", "56",
+              "--frame_gap", "2", "--process_index", "0",
+              "--process_count", "1"])
+    out = Path(save) / "rgb_static" / "training"
+    assert len(list(out.glob("*.npz"))) == 10
+    with np.load(out / "0.npz") as z:
+        assert z["tracks"].shape == (16, 2)  # grid = 224 // 56 = 4
+
+
+def test_cli_merge_features(calvin_root, tmp_path):
+    # sidecars: dino .pt + tracks .npz in the reference layouts
+    import torch
+
+    save = str(tmp_path / "feat")
+    extract_calvin_features(calvin_root, fake_extractor, save)
+    trk = str(tmp_path / "trk")
+    extract_calvin_tracks(calvin_root, fake_track_fn, trk, grid=4,
+                          frame_gap=2)
+    out = str(tmp_path / "merged")
+    cli.main(["merge_features", "--data_root", calvin_root,
+              "--out_dir", out, "--dino_path", save, "--track_path", trk])
+    with np.load(Path(out) / "training" / "episode_0000002.npz") as z:
+        assert z["dino_static"].shape == (4, 6)
+        assert z["traj_static"].shape == (16, 2)
+        assert z["visibility_static"].dtype == bool
+        assert "rgb_static" in z.files  # original keys kept
+
+
+def test_cli_rebuild_tracks_real_repair(calvin_root, tmp_path):
+    save = str(tmp_path / "trk")
+    extract_calvin_tracks(calvin_root, fake_track_fn, save, grid=4,
+                          frame_gap=2)
+    victim = Path(save) / "rgb_static" / "training" / "4.npz"
+    victim.write_bytes(b"corrupt")
+    cli.main(["rebuild_tracks", "--track_root", save,
+              "--data_root", calvin_root, "--tracker", "lk",
+              "--patch_size", "56", "--frame_gap", "2"])
+    with np.load(victim) as z:  # regenerated from source frames
+        assert z["tracks"].shape == (16, 2)
+
+
+def test_train_parser_accepts_flagship_finetune_flags():
+    """The canonical finetune.sh recipe parses (reference
+    scripts/CALVIN_ABC_D/DreamVLA/finetune.sh:8-61)."""
+    parser = cli.build_parser()
+    args = parser.parse_args([
+        "train", "--preset", "calvin_finetune",
+        "--calvin_dataset", "/data/task_ABC_D",
+        "--finetune_from_pretrained_ckpt", "/ckpt/pretrain.pth",
+        "--reset_obs_token", "--reset_action_decoder",
+        "--save_checkpoint", "--save_checkpoint_path", "ckpts/",
+    ])
+    assert args.reset_obs_token and args.reset_action_decoder
+    assert not args.reset_mask_token and not args.reset_resampler
+
+    for ft in ("droid", "oxe", "real", "libero_pretrain",
+               "libero_finetune", "calvin"):
+        args = parser.parse_args(["train", "--finetune_type", ft,
+                                  "--root_dir", "/data",
+                                  "--real_dataset_names", "kitchen"])
+        assert args.finetune_type == ft
+
+
+def test_train_routing_reaches_droid_oxe_real(monkeypatch, tmp_path):
+    """cmd_train's finetune_type routing calls the matching dataset
+    getter (reference train.py:98-109)."""
+    calls = []
+
+    def fake_get(name):
+        def _get(*a, **k):
+            calls.append(name)
+            raise RuntimeError("stop-after-routing")
+        return _get
+
+    import dreamvla_tpu.data.droid_oxe as dox
+
+    monkeypatch.setattr(dox, "get_droid_dataset", fake_get("droid"))
+    monkeypatch.setattr(dox, "get_oxe_dataset", fake_get("oxe"))
+    monkeypatch.setattr(dox, "get_real_dataset", fake_get("real"))
+
+    parser = cli.build_parser()
+    for ft in ("droid", "oxe", "real"):
+        args = parser.parse_args(
+            ["train", "--preset", "tiny_test", "--finetune_type", ft,
+             "--root_dir", str(tmp_path), "--real_dataset_names", "x"])
+        with pytest.raises(RuntimeError, match="stop-after-routing"):
+            cli.cmd_train(args)
+    assert calls == ["droid", "oxe", "real"]
