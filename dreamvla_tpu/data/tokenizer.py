@@ -137,8 +137,22 @@ class HashTokenizer:
         return out
 
 
-def get_tokenizer():
+def get_tokenizer(require_bpe: bool = False):
+    """The CLIP BPE tokenizer when a vocab file is available, else the
+    hermetic HashTokenizer stand-in.
+
+    `require_bpe=True` hard-fails instead of falling back — eval paths
+    MUST use it: a silent hash fallback would garbage every instruction
+    embedding while still producing plausible-looking rollouts."""
     for path in _VOCAB_CANDIDATES:
         if path and os.path.exists(path):
             return ClipBPETokenizer(path)
+    if require_bpe:
+        raise FileNotFoundError(
+            "CLIP BPE vocab not found (searched: "
+            f"{[p for p in _VOCAB_CANDIDATES if p]}). Download "
+            "bpe_simple_vocab_16e6.txt.gz (openai/CLIP) and set "
+            "CLIP_BPE_PATH or place it at "
+            "checkpoints/clip/bpe_simple_vocab_16e6.txt.gz. Refusing to "
+            "fall back to the test-only HashTokenizer in an eval path.")
     return HashTokenizer()

@@ -127,7 +127,8 @@ class PolicyWrapper:
              self.encode_text) = build_cached_policy_fns(model)
         else:
             self.policy = build_policy_fn(model)
-        self.tokenizer = tokenizer or get_tokenizer()
+        # eval must never silently hash-tokenize (garbage embeddings)
+        self.tokenizer = tokenizer or get_tokenizer(require_bpe=True)
         self.env = env
         self.use_ensembling = use_ensembling
         self.gripper_width = gripper_width
@@ -282,7 +283,8 @@ class BatchedPolicyWrapper:
         self.env = env
         self.gripper_width = gripper_width
         self.use_ensembling = use_ensembling
-        self.tokenizer = tokenizer or get_tokenizer()
+        # eval must never silently hash-tokenize (garbage embeddings)
+        self.tokenizer = tokenizer or get_tokenizer(require_bpe=True)
         (self.encode_frame, self.trunk_step,
          self.encode_text) = build_cached_policy_fns(model)
         self.history_len = cfg.sequence_length

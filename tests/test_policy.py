@@ -9,6 +9,7 @@ import pytest
 
 from dreamvla_tpu.config import tiny_test
 from dreamvla_tpu.eval.ensemble import AdaptiveEnsembler, TemporalEnsembler
+from dreamvla_tpu.data.tokenizer import get_tokenizer
 from dreamvla_tpu.eval.policy import PolicyWrapper
 from dreamvla_tpu.models.dreamvla import DreamVLA
 
@@ -43,7 +44,7 @@ def wrapper():
 
 def test_calvin_step_contract(wrapper):
     model, params = wrapper
-    pw = PolicyWrapper(model, params, env="calvin")
+    pw = PolicyWrapper(model, params, tokenizer=get_tokenizer(), env="calvin")
     rng = np.random.default_rng(1)
     pw.reset()
     actions = [pw.step(make_calvin_obs(rng, t), "push the button", t)
@@ -58,7 +59,7 @@ def test_policy_step_deterministic(wrapper):
     """The MLP-head policy is deterministic: identical histories after reset
     must produce identical actions (the jitted step has no hidden state)."""
     model, params = wrapper
-    pw = PolicyWrapper(model, params, env="calvin")
+    pw = PolicyWrapper(model, params, tokenizer=get_tokenizer(), env="calvin")
     rng = np.random.default_rng(2)
     obs = [make_calvin_obs(rng, t) for t in range(3)]
     pw.reset()
@@ -104,8 +105,8 @@ def test_feature_cache_matches_full_recompute(wrapper):
     model, params = wrapper
     rng = np.random.default_rng(5)
     obs = [make_calvin_obs(rng, t) for t in range(5)]
-    pw_full = PolicyWrapper(model, params, env="calvin", feature_cache=False)
-    pw_cache = PolicyWrapper(model, params, env="calvin", feature_cache=True)
+    pw_full = PolicyWrapper(model, params, tokenizer=get_tokenizer(), env="calvin", feature_cache=False)
+    pw_cache = PolicyWrapper(model, params, tokenizer=get_tokenizer(), env="calvin", feature_cache=True)
     pw_full.reset()
     pw_cache.reset()
     for t, o in enumerate(obs):
@@ -125,11 +126,12 @@ def test_batched_wrapper_matches_single(wrapper):
 
     singles = []
     for obs_seq in (obs_a, obs_b):
-        pw = PolicyWrapper(model, params, env="calvin")
+        pw = PolicyWrapper(model, params, tokenizer=get_tokenizer(), env="calvin")
         pw.reset()
         singles.append([pw.step(o, "task", t) for t, o in enumerate(obs_seq)])
 
-    bw = BatchedPolicyWrapper(model, params, batch=2, env="calvin")
+    bw = BatchedPolicyWrapper(model, params, tokenizer=get_tokenizer(),
+                              batch=2, env="calvin")
     bw.reset_slot(0)
     bw.reset_slot(1)
     bw.set_goal(0, "task")
