@@ -78,20 +78,28 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
         if logger is not None and i % log_every == 0:
             global_bs = (tcfg.batch_size * tcfg.gradient_accumulation_steps
                          * (1 if mesh is None else mesh.size))
+            # ONE host<->device sync for the whole scalar tree: per-float()
+            # conversions each cost a tunnel RTT (40-70 ms on pod TPUs)
+            host = jax.device_get({
+                "arm": losses.arm_action, "gripper": losses.gripper_action,
+                "image": losses.image, "depth": losses.depth,
+                "traj": losses.trajectory, "dino": losses.dino,
+                "sam": losses.sam, "total": losses.total,
+                "step": state.step})
             logger.log({
-                "loss/total": float(losses.total),
-                "loss/arm": float(losses.arm_action),
-                "loss/gripper": float(losses.gripper_action),
-                "loss/image": float(losses.image),
-                "loss/depth": float(losses.depth),
-                "loss/traj": float(losses.trajectory),
-                "loss/dino": float(losses.dino),
-                "loss/sam": float(losses.sam),
+                "loss/total": float(host["total"]),
+                "loss/arm": float(host["arm"]),
+                "loss/gripper": float(host["gripper"]),
+                "loss/image": float(host["image"]),
+                "loss/depth": float(host["depth"]),
+                "loss/traj": float(host["traj"]),
+                "loss/dino": float(host["dino"]),
+                "loss/sam": float(host["sam"]),
                 "perf/samples_per_sec": global_bs / max(step_time.val, 1e-9),
                 "perf/samples_per_sec_per_chip":
                     global_bs / max(step_time.val, 1e-9) / n_chips,
                 "perf/data_time": data_time.val,
                 "perf/step_time": step_time.val,
                 "epoch": epoch,
-            }, step=int(jax.device_get(state.step)))
+            }, step=int(host["step"]))
     return state, losses
