@@ -150,6 +150,13 @@ def compute_losses(
         pred = pred.reshape((bsz, s) + pred.shape[1:])[:, :s_eff]
         pred = pred.reshape((-1,) + pred.shape[2:])  # (B*s_eff, 2, P, L, C)
         if tcfg.flow_as_mask and "tracks" in batch:
+            if p != 1:
+                # the reference's mask has B*(s_eff+p-1) frames vs
+                # B*s_eff prediction windows -> shape error at p>1
+                # (train_utils.py:274-330); fail with a clear message
+                raise ValueError(
+                    "flow_as_mask is defined for pred_num==1 only "
+                    "(reference train_utils.py:274-330 shapes)")
             tr_p = batch["tracks"][:, : s_eff + p - 1].astype(jnp.float32)
             tr_w = batch["tracks_gripper"][:, : s_eff + p - 1].astype(jnp.float32)
             m_p = flow_activity_mask(tr_p, cfg.traj_grid, dilate=True)
@@ -191,6 +198,13 @@ def compute_losses(
 
     # ---- dino / sam cosine -------------------------------------------------
     def feat_cosine(pred_key, prim, wrist):
+        if p != 1:
+            # the reference itself asserts pred_num==1 here
+            # (train_utils.py:420-422 `assert ...shape[1] == 1`); fail
+            # loudly instead of silently dropping windows
+            raise ValueError(
+                "dino/sam cosine losses are defined for pred_num==1 only "
+                "(reference train_utils.py:420-422 asserts this)")
         lab_p = unfold_pred_windows(
             batch[prim][:, f : f + s_eff + p - 1].astype(jnp.float32), p, s_eff)
         lab_w = unfold_pred_windows(
