@@ -14,9 +14,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def flow_matching_sample_loop(model_fn, num_steps: int, shape, rng, dtype=jnp.float32):
-    """model_fn(x, t_float_per_batch) -> u_t. Returns the integrated sample."""
-    x0 = jax.random.normal(rng, shape, dtype)
+def flow_matching_sample_loop(model_fn, num_steps: int, shape, rng,
+                              dtype=jnp.float32, x0=None):
+    """model_fn(x, t_float_per_batch) -> u_t. Returns the integrated sample.
+    `x0` overrides the initial noise draw (callers that need noise-row
+    parity with a larger batch pass a pre-sliced draw)."""
+    if x0 is None:
+        x0 = jax.random.normal(rng, shape, dtype)
     ts = jnp.asarray(np.arange(num_steps, dtype=np.float32) / num_steps)
     delta = 1.0 / num_steps
     b = shape[0]

@@ -85,20 +85,38 @@ def build_cached_policy_cores(model: DreamVLA):
         return model.apply({"params": params}, text_tokens,
                            method=lambda m, t: m.text_encoder(t))
 
-    def trunk_step(params, img_tokens, cls_tokens, state, text_features, rng):
+    def trunk_step(params, img_tokens, cls_tokens, state, text_features, rng,
+                   sel):
+        """One policy step returning only the selected history position.
+
+        `sel` (B,) int32 is the position the driver consumes (reference
+        selects `num_step-1`, eval_utils_calvin.py:142-145) — so the DiT
+        samples ONE position per env instead of all S (a 1/S cut of DDIM
+        cost, the eval hot loop's second-largest term). Initial noise is
+        drawn at the all-positions shape and row-sliced, keeping actions
+        bit-identical to the full-recompute path (test_policy.py).
+        Returns arm (B, steps, 6), grip (B, steps, 1).
+        """
         # text features are per-rollout constants (the goal doesn't change):
         # encoded once via encode_text, not re-run through CLIP every step
         out = model.apply({"params": params}, img_tokens, cls_tokens, state,
                           text_features=text_features, mode="test", train=False,
                           method=DreamVLA.forward_from_tokens)
+        b, s, aps, h = out.action_features.shape
+        sel = jnp.asarray(sel, jnp.int32)
         if cfg.use_dit_head:
-            b, s, aps, h = out.action_features.shape
-            z = out.action_features.reshape(b * s, aps, h).astype(jnp.float32)
-            samples = head.sample(params["action_model"], z, rng)
-            arm = samples[..., :6].reshape(b, s, aps, 6)
-            grip = samples[..., 6:].reshape(b, s, aps, 1)
+            z = jnp.take_along_axis(
+                out.action_features, sel[:, None, None, None], axis=1
+            )[:, 0].astype(jnp.float32)
+            rows = jnp.arange(b, dtype=jnp.int32) * s + sel
+            samples = head.sample(params["action_model"], z, rng,
+                                  noise_rows=rows, noise_n=b * s)
+            arm, grip = samples[..., :6], samples[..., 6:]
         else:
-            arm, grip = out.arm_action, out.gripper_action
+            arm = jnp.take_along_axis(
+                out.arm_action, sel[:, None, None, None], axis=1)[:, 0]
+            grip = jnp.take_along_axis(
+                out.gripper_action, sel[:, None, None, None], axis=1)[:, 0]
         return arm.astype(jnp.float32), grip.astype(jnp.float32)
 
     return encode_frame, trunk_step, encode_text
@@ -216,6 +234,8 @@ class PolicyWrapper:
                 self.text_features = np.asarray(self.encode_text(
                     self.params, jnp.asarray(self.text_tokens)))
         num_step = len(self.states)
+        sel = (num_step - 1 if num_step < self.history_len
+               else self.history_len - 1)
 
         self.rng, sub = jax.random.split(self.rng)
         if self.feature_cache:
@@ -226,7 +246,10 @@ class PolicyWrapper:
                 jnp.asarray(self._padded(self.states)),
                 jnp.asarray(self.text_features),
                 sub,
+                jnp.asarray([sel], jnp.int32),
             )
+            arm = np.asarray(arm)[0]    # (steps, 6)
+            grip = np.asarray(grip)[0]  # (steps, 1)
         else:
             arm, grip = self.policy(
                 self.params,
@@ -236,27 +259,22 @@ class PolicyWrapper:
                 jnp.asarray(self.text_tokens),
                 sub,
             )
-        arm = np.asarray(arm)[0]    # (S, steps, 6)
-        grip = np.asarray(grip)[0]  # (S, steps, 1)
-        sel = num_step - 1 if num_step < self.history_len else -1
+            arm = np.asarray(arm)[0, sel]    # (steps, 6)
+            grip = np.asarray(grip)[0, sel]  # (steps, 1)
 
         if self.use_ensembling:
-            chunk = np.concatenate([arm[sel], grip[sel]], axis=-1)  # (steps, 7)
+            chunk = np.concatenate([arm, grip], axis=-1)  # (steps, 7)
             action = self.temporal.update_and_read(timestep, chunk)
             action = np.concatenate(
                 [action[:6], (action[6:] > 0.5).astype(np.float32)])
             action[-1] = (action[-1] - 0.5) * 2
-        elif self.adaptive is not None:
-            acts = np.concatenate(
-                [arm[:, 0], (grip[:, 0] > 0.5).astype(np.float32)], axis=-1)
-            acts[:, -1] = (acts[:, -1] - 0.5) * 2
-            action = self.adaptive.ensemble_action(acts[sel])
-            action[-1] = 1 if action[-1] > 0 else -1
         else:
-            acts = np.concatenate(
-                [arm[:, 0], (grip[:, 0] > 0.5).astype(np.float32)], axis=-1)
-            acts[:, -1] = (acts[:, -1] - 0.5) * 2
-            action = acts[sel]
+            action = np.concatenate(
+                [arm[0], (grip[0] > 0.5).astype(np.float32)])
+            action[-1] = (action[-1] - 0.5) * 2
+            if self.adaptive is not None:
+                action = self.adaptive.ensemble_action(action)
+                action[-1] = 1 if action[-1] > 0 else -1
 
         self.gripper_state = np.array([action[-1]], np.float32)
         return action.astype(np.float32)
@@ -372,25 +390,25 @@ class BatchedPolicyWrapper:
             self.counts[i] = n + 1
 
         self.rng, sub = jax.random.split(self.rng)
+        sels = np.minimum(self.counts - 1,
+                          self.history_len - 1).astype(np.int32)
         arm, grip = self.trunk_step(
             self.params, jnp.asarray(self.img_hist),
             jnp.asarray(self.cls_hist), jnp.asarray(self.state_hist),
-            jnp.asarray(self.text_feats), sub)
-        arm, grip = np.asarray(arm), np.asarray(grip)
+            jnp.asarray(self.text_feats), sub, jnp.asarray(sels))
+        arm, grip = np.asarray(arm), np.asarray(grip)  # (B, steps, 6/1)
 
         actions = np.zeros((self.batch, 7), np.float32)
         for i in range(self.batch):
-            n = int(self.counts[i])
-            sel = n - 1 if n < self.history_len else self.history_len - 1
             if self.use_ensembling:
-                chunk = np.concatenate([arm[i, sel], grip[i, sel]], axis=-1)
+                chunk = np.concatenate([arm[i], grip[i]], axis=-1)
                 a = self.temporal[i].update_and_read(int(timesteps[i]), chunk)
                 a = np.concatenate([a[:6], (a[6:] > 0.5).astype(np.float32)])
                 a[-1] = (a[-1] - 0.5) * 2
             else:
                 a = np.concatenate(
-                    [arm[i, sel, 0],
-                     ((grip[i, sel, 0] > 0.5).astype(np.float32) - 0.5) * 2])
+                    [arm[i, 0],
+                     ((grip[i, 0] > 0.5).astype(np.float32) - 0.5) * 2])
             self.gripper_state[i] = a[-1]
             actions[i] = a
         return actions

@@ -232,12 +232,29 @@ class ActionDiffusionHead:
         return jnp.mean((pred - noise) ** 2)
 
     # -- inference --------------------------------------------------------
-    def sample(self, params, z, rng, use_ddim: bool = True):
+    def sample(self, params, z, rng, use_ddim: bool = True,
+               noise_rows=None, noise_n: int = 0):
         """DDIM/DDPM/FM sampling. params: the DiT param subtree; z: (N, T, Z)
-        trunk condition tokens. Returns (N, T, in_channels)."""
+        trunk condition tokens. Returns (N, T, in_channels).
+
+        noise_rows/noise_n: draw the initial noise at shape (noise_n, T, C)
+        and keep rows `noise_rows` (N of them). Lets a caller that samples
+        only selected positions stay bit-identical to an all-positions
+        sample of the same rng (the DDIM/FM loops are deterministic given
+        the initial noise) — see eval/policy.py trunk_step.
+        """
         n, t_len, _ = z.shape
         c = self.cfg.in_channels
         r_noise, r_loop = jax.random.split(rng)
+
+        def draw(r, lead):
+            if noise_rows is None:
+                return jax.random.normal(r, (lead * n, t_len, c), jnp.float32)
+            x = jax.random.normal(r, (lead * noise_n, t_len, c), jnp.float32)
+            rows = jnp.asarray(noise_rows)
+            if lead == 2:
+                rows = jnp.concatenate([rows, noise_n + rows])
+            return x[rows]
 
         def apply(x, t):
             return self.dit.apply({"params": params}, x, t, z)
@@ -253,10 +270,11 @@ class ActionDiffusionHead:
             out = flow_matching_sample_loop(
                 lambda x, t: apply_cfg(x, t, z_full, 1.0),
                 self.schedule.num_timesteps, (2 * n, t_len, c), r_loop,
+                x0=draw(r_loop, 2) if noise_rows is not None else None,
             )
             return out[:n]
 
-        noise = jax.random.normal(r_noise, (n, t_len, c), jnp.float32)
+        noise = draw(r_noise, 1)
         if self.cfg.cfg_scale > 1.0:
             noise2 = jnp.concatenate([noise, noise], axis=0)
             uncond = jnp.broadcast_to(
