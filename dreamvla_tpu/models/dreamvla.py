@@ -141,6 +141,10 @@ class DreamVLA(nn.Module):
             "transformer_backbone_position_embedding",
             nn.initializers.normal(0.02), (1, cfg.sequence_length, 1, h))
         self.embedding_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt)
+        # NOTE: ops.attention.structured_attention (exact block-split
+        # decomposition) was evaluated here and measured neutral-to-slower
+        # on v5e (the QK^T dot is not kv-length-bound at these shapes) with
+        # a large jit-compile-time cost; the trunk keeps dense flash.
         self.transformer_backbone = GPT2Trunk(
             num_layers=cfg.transformer_layers, num_heads=cfg.transformer_heads,
             dropout=cfg.dropout, dtype=dt, remat=cfg.remat,

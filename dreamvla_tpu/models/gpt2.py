@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dreamvla_tpu.models.layers import gelu_tanh
-from dreamvla_tpu.ops.attention import multi_head_attention
+from dreamvla_tpu.ops.attention import (BlockSplit, multi_head_attention,
+                                        structured_attention)
 
 
 class GPT2Attention(nn.Module):
@@ -35,6 +36,7 @@ class GPT2Attention(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    split: Optional[BlockSplit] = None
 
     @nn.compact
     def __call__(self, x, bias=None, deterministic: bool = True):
@@ -46,10 +48,18 @@ class GPT2Attention(nn.Module):
         def heads_first(t):
             return jnp.moveaxis(t.reshape(b, l, self.num_heads, hd), 1, 2)
 
-        o = multi_head_attention(
-            heads_first(q), heads_first(k), heads_first(v), bias=bias,
-            use_pallas=self.use_pallas,
-        )
+        if self.split is not None and bias is not None:
+            # exact block-structured decomposition (~2.7x fewer attention
+            # FLOPs at the flagship shape) — see ops.attention
+            o = structured_attention(
+                heads_first(q), heads_first(k), heads_first(v), bias,
+                self.split, use_pallas=self.use_pallas,
+            )
+        else:
+            o = multi_head_attention(
+                heads_first(q), heads_first(k), heads_first(v), bias=bias,
+                use_pallas=self.use_pallas,
+            )
         o = jnp.moveaxis(o, 1, 2).reshape(b, l, d)
         o = nn.Dense(d, dtype=self.dtype, name="c_proj")(o)
         return nn.Dropout(self.dropout, deterministic=deterministic)(o)
@@ -62,6 +72,7 @@ class GPT2Block(nn.Module):
     ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    split: Optional[BlockSplit] = None
 
     @nn.compact
     def __call__(self, x, bias=None, deterministic: bool = True):
@@ -69,7 +80,7 @@ class GPT2Block(nn.Module):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_1")(x)
         x = x + GPT2Attention(
             self.num_heads, self.dropout, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn",
+            use_pallas=self.use_pallas, split=self.split, name="attn",
         )(h, bias=bias, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_2")(x)
         m = nn.Dense(self.mlp_ratio * d, dtype=self.dtype, name="mlp_c_fc")(h)
@@ -87,6 +98,7 @@ class GPT2Trunk(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
     remat: bool = False
+    split: Optional[BlockSplit] = None
 
     @nn.compact
     def __call__(self, inputs_embeds, bias=None, deterministic: bool = True):
@@ -100,6 +112,7 @@ class GPT2Trunk(nn.Module):
         for i in range(self.num_layers):
             x = block_cls(
                 self.num_heads, dropout=self.dropout, ln_eps=self.ln_eps,
-                dtype=self.dtype, use_pallas=self.use_pallas, name=f"h_{i}",
+                dtype=self.dtype, use_pallas=self.use_pallas,
+                split=self.split, name=f"h_{i}",
             )(x, bias, deterministic)
         return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln_f")(x)

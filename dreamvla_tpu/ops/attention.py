@@ -16,11 +16,20 @@ correct while inference takes the Pallas path.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+try:  # Mosaic scoped-VMEM default (16MB) is too small for grouped programs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _COMPILER_PARAMS = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+except Exception:  # pragma: no cover - non-TPU installs
+    _COMPILER_PARAMS = None
 
 # Measured on TPU v5e at the flagship trunk shape (B2 H16 L930 D64): 512-row
 # query tiles beat both 128 (mosaic unroll overhead, pathological compile
@@ -35,6 +44,25 @@ def _cdiv(a: int, b: int) -> int:
 
 def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
+
+
+def _bh_group(bh: int, q_tile: int, lk_pad: int, d_pad: int,
+              vmem_budget: int = 24 * 1024 * 1024,
+              n_score_bufs: int = 2) -> int:
+    """Largest divisor of bh (<= 4) whose per-program VMEM footprint
+    (fp32 scores + exp temps dominate) stays under the budget.
+
+    Swept on v5e at the flagship trunk shape (bh=256, TQ=512, Lk=1024):
+    G=4 1.62ms, G=2 1.63ms, G=8 2.08ms (blocks too big to double-buffer),
+    G=1 2.09ms (program overhead). n_score_bufs: live (TQ, Lk) fp32
+    temporaries in the kernel body (2 fwd, ~5 bwd)."""
+    per_slice = (q_tile * lk_pad * 4 * n_score_bufs
+                 + 2 * lk_pad * d_pad * 2         # K + V (input dtype)
+                 + 2 * q_tile * d_pad * 4)        # Q + O
+    for g in (4, 2, 1):
+        if bh % g == 0 and g * per_slice <= vmem_budget:
+            return g
+    return 1
 
 
 def mha_reference(
@@ -58,19 +86,25 @@ def mha_reference(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (TQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (Lk, D)
+    # A program handles a GROUP of (batch*head) slices via batched dots:
+    # per-program work must be ~10µs+ to amortise Mosaic program overhead
+    # (profiled: single-bh programs made the flagship trunk kernel
+    # overhead-bound — 12k programs/trunk, ~2x the matmul time). QK^T runs
+    # in the input dtype with fp32 accumulation (bit-identical to casting
+    # bf16 up, but full MXU rate).
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale + bias_ref[:].astype(jnp.float32)
+        q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, TQ, Lk)
+    s = s * scale + bias_ref[:].astype(jnp.float32)[None]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    )
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, TQ, D)
+    o_ref[:] = (o / denom).astype(o_ref.dtype)
 
 
 def _flash_fwd_impl(q, k, v, bias, scale, interpret=False):
@@ -97,23 +131,27 @@ def _flash_fwd_impl(q, k, v, bias, scale, interpret=False):
     kp = kp.reshape(b * h, lk_pad, d_pad)
     vp = vp.reshape(b * h, lk_pad, d_pad)
 
-    # Grid order (q_tile, batch*head): the innermost axis sweeps bh, so the
-    # shared bias block's index is unchanged between consecutive programs
-    # and Mosaic skips its re-fetch — otherwise the (L, L) fp32 bias would
-    # be re-DMA'd B*H times per layer (~2.6 GB/step on the flagship trunk).
-    grid = (lq_pad // q_tile, b * h)
+    bh_block = _bh_group(b * h, q_tile, lk_pad, d_pad)
+    # Grid order (q_tile, bh_groups): the innermost axis sweeps bh groups,
+    # so the shared bias block's index is unchanged between consecutive
+    # programs and Mosaic skips its re-fetch — otherwise the (L, L) fp32
+    # bias would be re-DMA'd B*H times per layer (~2.6 GB/step on the
+    # flagship trunk).
+    grid = (lq_pad // q_tile, (b * h) // bh_block)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
-            pl.BlockSpec((q_tile, lk_pad), lambda i, bh: (i, 0)),
+            pl.BlockSpec((bh_block, q_tile, d_pad), lambda i, g: (g, i, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((q_tile, lk_pad), lambda i, g: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
+        out_specs=pl.BlockSpec((bh_block, q_tile, d_pad),
+                               lambda i, g: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(qp, kp, vp, bp)
     return out.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
 
@@ -130,43 +168,46 @@ def _flash_attention_fwd(q, k, v, bias, scale):
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
                 q_tile: int):
-    """Flash backward for one (batch*head): rematerialise scores per q-tile,
-    accumulate dk/dv (per bh) and dbias (across bh) in the output refs,
-    write dq per tile. Keeps all L x L intermediates in VMEM — the XLA
-    fallback materialises four of them in HBM per layer."""
+    """Flash backward for a GROUP of (batch*head) slices: rematerialise
+    scores per q-tile, accumulate dk/dv (per group) and dbias (across
+    groups) in the output refs, write dq per tile. Keeps all L x L
+    intermediates in VMEM — the XLA fallback materialises four of them in
+    HBM per layer."""
     i = pl.program_id(0)
-    bh = pl.program_id(1)
+    grp = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_ref[:] = jnp.zeros_like(dk_ref[:])
+        dv_ref[:] = jnp.zeros_like(dv_ref[:])
 
-    @pl.when(bh == 0)
+    @pl.when(grp == 0)
     def _():
         dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
 
-    q = q_ref[0].astype(jnp.float32)  # (TQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (Lk, D)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)  # (TQ, D)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    q = q_ref[:].astype(jnp.float32)  # (G, TQ, D)
+    k = k_ref[:].astype(jnp.float32)  # (G, Lk, D)
+    v = v_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)  # (G, TQ, D)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    s = s * scale + bias_ref[:].astype(jnp.float32)
+    s = s * scale + bias_ref[:].astype(jnp.float32)[None]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (TQ, Lk)
-    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (G, TQ, Lk)
+    dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                 * scale).astype(dq_ref.dtype)
-    dk_ref[0] += (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+    dq_ref[:] = (jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[:] += (jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale)
-    dv_ref[0] += jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dbias_ref[:] += ds
+    dv_ref[:] += jax.lax.dot_general(
+        p, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dbias_ref[:] += jnp.sum(ds, axis=0)
 
 
 def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
@@ -189,22 +230,23 @@ def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
                  ((0, lq_pad - lq), (0, lk_pad - lk)),
                  constant_values=-1.0e9)
 
-    grid = (lq_pad // q_tile, b * h)
+    bh_block = _bh_group(b * h, q_tile, lk_pad, d_pad, n_score_bufs=5)
+    grid = (lq_pad // q_tile, (b * h) // bh_block)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, q_tile=q_tile),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
-            pl.BlockSpec((q_tile, lk_pad), lambda i, bh: (i, 0)),
-            pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
+            pl.BlockSpec((bh_block, q_tile, d_pad), lambda i, g: (g, i, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((q_tile, lk_pad), lambda i, g: (i, 0)),
+            pl.BlockSpec((bh_block, q_tile, d_pad), lambda i, g: (g, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, q_tile, d_pad), lambda i, bh: (bh, i, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, bh: (bh, 0, 0)),
-            pl.BlockSpec((q_tile, lk_pad), lambda i, bh: (i, 0)),
+            pl.BlockSpec((bh_block, q_tile, d_pad), lambda i, g: (g, i, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
+            pl.BlockSpec((q_tile, lk_pad), lambda i, g: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
@@ -213,6 +255,7 @@ def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
             jax.ShapeDtypeStruct((lq_pad, lk_pad), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(qp, kp, vp, bp, gp)
     dq = dq.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
     dk = dk.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d].astype(k.dtype)
@@ -253,6 +296,80 @@ def multi_head_attention(
     if use_pallas:
         return _flash_attention(q, k, v, bias, scale)
     return mha_reference(q, k, v, bias, scale)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSplit:
+    """Static token-layout descriptor for `structured_attention`.
+
+    Mirrors ops.masks.MaskSpec geometry: K timestep blocks of
+    `block = na + nobs + aps` tokens; positions [0, na) are A-tokens
+    (text/state/images/cls), [na, na+nobs) dream-query tokens, the last
+    `aps` action tokens.
+    """
+
+    k: int
+    na: int
+    nobs: int
+    aps: int
+
+    @property
+    def block(self) -> int:
+        return self.na + self.nobs + self.aps
+
+
+def structured_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    split: BlockSplit,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Exact trunk attention exploiting the DreamVLA mask structure.
+
+    Every visibility rule (ops/masks.py, mirroring reference
+    `generate_attention_mask`, dreamvla_model.py:25-66) lets
+      * A-tokens and dream-query tokens see only A-token keys
+        (rules 1/2/5: all their visible keys have kj < na);
+      * action tokens additionally see their own block's dream-query keys
+        (rules 3/4).
+    So the (L, L) problem decomposes exactly into a dense
+    (K*(na+nobs)) x (K*na) attention plus a tiny (K*aps) x L one — ~2.7x
+    fewer attention FLOPs at the flagship shape (na=36, nobs=54, aps=3,
+    K=10). Masked-out keys contribute exp(-1e9-m) == 0.0 exactly in fp32,
+    so results are bit-identical to the full computation.
+    """
+    b, h, L, d = q.shape
+    K, na, nobs, aps = split.k, split.na, split.nobs, split.aps
+    nb = split.block
+    assert L == K * nb, (L, split)
+    scale = d**-0.5 if scale is None else scale
+
+    q5 = q.reshape(b, h, K, nb, d)
+    b4 = bias.reshape(K, nb, K, nb)
+
+    # A + dream-query rows attend to A-columns only
+    qa = q5[:, :, :, : na + nobs].reshape(b, h, K * (na + nobs), d)
+    kA = k.reshape(b, h, K, nb, d)[:, :, :, :na].reshape(b, h, K * na, d)
+    vA = v.reshape(b, h, K, nb, d)[:, :, :, :na].reshape(b, h, K * na, d)
+    biasA = b4[:, : na + nobs, :, :na].reshape(K * (na + nobs), K * na)
+    oA = multi_head_attention(qa, kA, vA, biasA, scale=scale,
+                              use_pallas=use_pallas)
+
+    if aps == 0:
+        return oA.reshape(b, h, L, d)
+
+    # action rows (K*aps of them) attend to the full key set — tiny, XLA
+    qact = q5[:, :, :, na + nobs:].reshape(b, h, K * aps, d)
+    biasact = b4[:, na + nobs:].reshape(K * aps, L)
+    oact = mha_reference(qact, k, v, biasact, scale=scale)
+
+    o = jnp.concatenate(
+        [oA.reshape(b, h, K, na + nobs, d),
+         oact.reshape(b, h, K, aps, d)], axis=3)
+    return o.reshape(b, h, L, d)
 
 
 def is_tpu_backend() -> bool:
