@@ -99,6 +99,9 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
                         " trunk initialisation (reference dreamvla_model.py"
                         ":539-542)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of steady-state train"
+                        " steps (epoch 0, steps 10-15) into this directory")
     p.add_argument("--report_to_wandb", action="store_true")
     p.add_argument("--wandb_project", default="dreamvla_tpu")
     p.add_argument("--save_checkpoint", action="store_true")
@@ -267,7 +270,9 @@ def cmd_train(args) -> None:
     rng = jax.random.PRNGKey(tcfg.seed + rank)
     for epoch in range(resume_epoch, tcfg.num_epochs):
         state, _ = train_one_epoch(model, tcfg, state, step_fn, data, epoch,
-                                   rng, mesh=mesh, logger=logger)
+                                   rng, mesh=mesh, logger=logger,
+                                   profile_dir=args.profile_dir,
+                                   is_saver=rank == 0)
         if val_data is not None and rank == 0:
             from dreamvla_tpu.eval.offline import evaluate_open_loop
 

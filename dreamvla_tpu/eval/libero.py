@@ -41,22 +41,33 @@ def evaluate_tasks_batched(envs, policy, max_steps: int, goals, obs_list):
     for i, goal in enumerate(goals):
         policy.reset_slot(i)
         policy.set_goal(i, goal)
+    from concurrent.futures import ThreadPoolExecutor
+
     done = [False] * k
     success = [0] * k
     steps = np.zeros(k, np.int64)
     obs_list = list(obs_list)
-    while not all(done) and steps.max() < max_steps:
-        actions = policy.step(obs_list, steps)
-        for i, env in enumerate(envs):
-            if done[i] or steps[i] >= max_steps:
-                done[i] = True
-                continue
-            obs, reward, d, info = env.step(actions[i])
-            obs_list[i] = obs
-            steps[i] += 1
-            if d:
-                success[i] = 1
-                done[i] = True
+
+    def step_env(i, actions):
+        if done[i] or steps[i] >= max_steps:
+            return None
+        return envs[i].step(actions[i])
+
+    with ThreadPoolExecutor(max_workers=k) as pool:
+        while not all(done) and steps.max() < max_steps:
+            actions = policy.step(obs_list, steps)
+            # MuJoCo physics releases the GIL: step the K sims concurrently
+            stepped = list(pool.map(lambda i: step_env(i, actions), range(k)))
+            for i in range(k):
+                if stepped[i] is None:
+                    done[i] = True
+                    continue
+                obs, reward, d, info = stepped[i]
+                obs_list[i] = obs
+                steps[i] += 1
+                if d:
+                    success[i] = 1
+                    done[i] = True
     return success
 
 

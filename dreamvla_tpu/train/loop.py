@@ -40,7 +40,9 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
                     log_every: int = 20,
                     save_every_iter: int = 0, ckpt_dir: Optional[str] = None,
                     is_saver: bool = True,
-                    panel_every: int = 0, panel_dir: Optional[str] = None):
+                    panel_every: int = 0, panel_dir: Optional[str] = None,
+                    profile_dir: Optional[str] = None,
+                    profile_steps: tuple = (10, 15)):
     cfg: DreamVLAConfig = model.cfg
     data_info.set_epoch(epoch)
     loader = data_info.dataloader
@@ -48,8 +50,17 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
     n_chips = len(jax.devices())
     end = time.time()
     losses = None
+    profiling = False
     for i, batch in enumerate(loader):
         data_time.update(time.time() - end)
+        if profile_dir and epoch == 0 and is_saver:
+            # capture a jax.profiler trace of steady-state steps
+            if i == profile_steps[0] and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            elif i == profile_steps[1] and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         if (panel_every and logger is not None and is_saver
                 and i % panel_every == 0):
             from dreamvla_tpu.train.panels import build_panels
@@ -102,4 +113,6 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
                 "perf/step_time": step_time.val,
                 "epoch": epoch,
             }, step=int(host["step"]))
+    if profiling:
+        jax.profiler.stop_trace()
     return state, losses

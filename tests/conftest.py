@@ -17,5 +17,15 @@ jax.config.update("jax_platforms", "cpu")
 # matmul precision is bf16-class even on CPU, so pin it for tests only.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# The suite is jit-compile dominated (tiny models, many configs). Persist
+# compiled executables across runs/files so only genuinely new graphs pay
+# XLA compile time; a warm cache cuts the CPU suite severalfold.
+_cache_dir = os.environ.get(
+    "DREAMVLA_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_compile_cache"))
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
     "tests must run on the 8-device virtual CPU mesh")
