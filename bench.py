@@ -49,7 +49,7 @@ import numpy as np
 FALLBACK_BASELINE = 22.4  # chunks/s; see tools/anchor_baseline.py
 STEPS_PER_DISPATCH = 20
 REPEATS = 5
-SERVE_BATCHES = (16, 32)  # envs/chip sweep, batched serving config
+SERVE_BATCHES = (16,)  # envs/chip batched serving config (32 measured worse)
 
 
 def _baseline():
@@ -171,14 +171,19 @@ def main():
     serve = {}
     serve_steps = max(STEPS_PER_DISPATCH // 4, 5)
     for sb in SERVE_BATCHES:
-        runb, warmb = build_run_n(model, params, sb, serve_steps)
-        note(f"bs{sb} built")
-        t_serve = measure(runb, warmb, params, serve_steps)
-        serve[sb] = sb / t_serve
-        note(f"bs{sb} measured: {serve[sb]:.1f} chunks/s")
+        # the serving configs are optional upside: never let a slow compile
+        # or transient device failure cost the bs-1 headline
+        try:
+            runb, warmb = build_run_n(model, params, sb, serve_steps)
+            note(f"bs{sb} built")
+            t_serve = measure(runb, warmb, params, serve_steps)
+            serve[sb] = sb / t_serve
+            note(f"bs{sb} measured: {serve[sb]:.1f} chunks/s")
+        except Exception as e:  # pragma: no cover - device-side failures
+            note(f"bs{sb} failed: {type(e).__name__}: {e}")
 
-    best_sb = max(serve, key=serve.get)
-    headline = max(bs1_chunks, serve[best_sb])
+    best_sb = max(serve, key=serve.get) if serve else None
+    headline = max([bs1_chunks] + list(serve.values()))
     baseline = _baseline()
     out = {
         "metric": "action_chunks_per_sec_per_chip",
