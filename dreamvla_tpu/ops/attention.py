@@ -169,21 +169,26 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
                 q_tile: int):
     """Flash backward for a GROUP of (batch*head) slices: rematerialise
-    scores per q-tile, accumulate dk/dv (per group) and dbias (across
-    groups) in the output refs, write dq per tile. Keeps all L x L
+    scores per q-tile, accumulate dk/dv across q-tiles in VMEM, write dq
+    and a per-group dbias contribution per tile. Keeps all L x L
     intermediates in VMEM — the XLA fallback materialises four of them in
-    HBM per layer."""
-    i = pl.program_id(0)
-    grp = pl.program_id(1)
+    HBM per layer.
+
+    CORRECTNESS: the grid is (groups, q_tiles) with the q-tile axis MINOR,
+    so the dk/dv output blocks (indexed by group only) keep a CONSTANT
+    index across consecutive programs — the only accumulation pattern
+    Mosaic's output pipelining guarantees. The previous layout accumulated
+    into blocks revisited across non-consecutive programs, which
+    interpret-mode executes correctly but real hardware does not (caught
+    by an on-device autodiff comparison at L=930; single-q-tile shapes
+    never hit the race). dbias is written once per (group, tile) block and
+    reduced over groups outside the kernel for the same reason."""
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         dk_ref[:] = jnp.zeros_like(dk_ref[:])
         dv_ref[:] = jnp.zeros_like(dv_ref[:])
-
-    @pl.when(grp == 0)
-    def _():
-        dbias_ref[:] = jnp.zeros_like(dbias_ref[:])
 
     q = q_ref[:].astype(jnp.float32)  # (G, TQ, D)
     k = k_ref[:].astype(jnp.float32)  # (G, Lk, D)
@@ -207,7 +212,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
     dv_ref[:] += jax.lax.dot_general(
         p, g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dbias_ref[:] += jnp.sum(ds, axis=0)
+    dbias_ref[0] = jnp.sum(ds, axis=0)
 
 
 def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
@@ -231,28 +236,31 @@ def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
                  constant_values=-1.0e9)
 
     bh_block = _bh_group(b * h, q_tile, lk_pad, d_pad, n_score_bufs=5)
-    grid = (lq_pad // q_tile, (b * h) // bh_block)
-    dq, dk, dv, dbias = pl.pallas_call(
+    n_groups = (b * h) // bh_block
+    # grid (groups, q_tiles): q-tile axis minor so dk/dv block indices are
+    # constant across consecutive programs (see _bwd_kernel docstring)
+    grid = (n_groups, lq_pad // q_tile)
+    dq, dk, dv, dbias_g = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, q_tile=q_tile),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bh_block, q_tile, d_pad), lambda i, g: (g, i, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
-            pl.BlockSpec((q_tile, lk_pad), lambda i, g: (i, 0)),
-            pl.BlockSpec((bh_block, q_tile, d_pad), lambda i, g: (g, i, 0)),
+            pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((q_tile, lk_pad), lambda g, i: (i, 0)),
+            pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bh_block, q_tile, d_pad), lambda i, g: (g, i, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda i, g: (g, 0, 0)),
-            pl.BlockSpec((q_tile, lk_pad), lambda i, g: (i, 0)),
+            pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, q_tile, lk_pad), lambda g, i: (g, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((lq_pad, lk_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, lq_pad, lk_pad), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
@@ -260,6 +268,7 @@ def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
     dq = dq.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
     dk = dk.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d].astype(k.dtype)
     dv = dv.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d].astype(v.dtype)
+    dbias = jnp.sum(dbias_g, axis=0)
     return dq, dk, dv, dbias[:lq, :lk]
 
 

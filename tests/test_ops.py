@@ -194,12 +194,17 @@ def test_pallas_multi_tile_query_path():
 
 
 def test_flash_backward_kernel_matches_autodiff():
-    """Pallas flash backward (interpret mode) vs autodiff of the reference."""
+    """Pallas flash backward (interpret mode) vs autodiff of the reference.
+
+    lq=600 spans TWO query tiles: the dk/dv accumulation across q-tiles is
+    the part that once raced on real hardware (fixed by making the q-tile
+    grid axis minor; interpret mode cannot reproduce the race, but this
+    pins the multi-tile shapes)."""
     from dreamvla_tpu.ops.attention import _flash_bwd_impl
 
     rng = np.random.default_rng(10)
-    q, k, v = _rand_qkv(rng, b=1, h=3, lq=200, lk=200, d=64)
-    bias = np.where(rng.random((200, 200)) < 0.3, -1e9, 0.0).astype(np.float32)
+    q, k, v = _rand_qkv(rng, b=1, h=3, lq=600, lk=600, d=64)
+    bias = np.where(rng.random((600, 600)) < 0.3, -1e9, 0.0).astype(np.float32)
     bias[:, 0] = 0.0
     g = rng.normal(size=q.shape).astype(np.float32)
     args = tuple(map(jnp.asarray, (q, k, v, bias)))
@@ -211,7 +216,7 @@ def test_flash_backward_kernel_matches_autodiff():
     got = _flash_bwd_impl(*args, jnp.asarray(g), scale=64**-0.5,
                           interpret=True)
     for a, b, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-4,
                                    err_msg=name)
 
 
