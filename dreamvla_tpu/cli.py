@@ -45,6 +45,18 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mask_l_obs_ratio", type=float, default=None)
     p.add_argument("--dit_type", default=None)
     p.add_argument("--track_label_patch_size", type=int, default=None)
+    for flag in ("use_dinosiglip", "use_gpt2_pretrained", "remat"):
+        p.add_argument(f"--{flag}", action="store_true", default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--compute_dtype", default=None,
+                   help="bfloat16|float32 trunk compute dtype")
+    # reference flags stored by the model ctor but never read in forward
+    # (dreamvla_model.py:151, :418) — accepted for script compatibility
+    for flag in ("use_depth_query", "use_trajectory_query"):
+        p.add_argument(f"--{flag}", action="store_true",
+                       help="accepted for reference-script compatibility "
+                            "(dead flag in the reference forward)")
 
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:
@@ -64,6 +76,49 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
         p.add_argument(f"--{flag}", action="store_true", default=None)
     p.add_argument("--loss_arm_action_ratio", type=float, default=None)
     p.add_argument("--loss_gripper_action_ratio", type=float, default=None)
+    for flag in ("loss_image_ratio", "loss_depth_ratio", "loss_traj_ratio",
+                 "loss_dino_ratio", "loss_sam_ratio", "grad_clip_norm"):
+        p.add_argument(f"--{flag}", type=float, default=None)
+    p.add_argument("--save_every_iter", type=int, default=0,
+                   help="mid-epoch preemption-safe checkpoint cadence "
+                        "(reference exposes but never acts on it)")
+    p.add_argument("--start_save_checkpoint", type=int, default=-1,
+                   help="first epoch to save checkpoints at (reference "
+                        "arguments_utils.py)")
+    p.add_argument("--precision", default=None,
+                   help="reference precision policy string; 'fp32' maps to "
+                        "float32 compute, anything bf16-ish to bfloat16")
+    p.add_argument("--bf16_module", default=None,
+                   help="accepted for reference-script compatibility; the "
+                        "TPU dtype policy is per-module bf16 already")
+    # droid/oxe action-normalisation knobs (reference arguments_utils.py)
+    p.add_argument("--max_rel_pos", type=float, default=None)
+    p.add_argument("--max_rel_orn", type=float, default=None)
+    p.add_argument("--magic_scaling_factor_pos", type=float, default=None)
+    p.add_argument("--magic_scaling_factor_orn", type=float, default=None)
+    for flag in ("attn_implementation", "primary_mode"):
+        p.add_argument(f"--{flag}", default=None,
+                       help="accepted for reference-script compatibility "
+                            "(attention/backbone impl is TPU-native here)")
+    for flag in ("data_in_ceph", "offline", "save_checkpoints_to_wandb",
+                 "visualize", "residual", "use_aug_data", "dif_ws"):
+        p.add_argument(f"--{flag}", action="store_true",
+                       help="accepted for reference-script compatibility")
+    p.add_argument("--small_size", type=int, default=0,
+                   help="accepted for reference-script compatibility")
+    p.add_argument("--load_libero_file", default="h5",
+                   help="accepted for reference-script compatibility")
+    p.add_argument("--patch_size", type=int, default=None)
+    p.add_argument("--wandb_entity", default=None)
+    p.add_argument("--min_window_size", type=int, default=None)
+    p.add_argument("--max_window_size", type=int, default=None)
+    p.add_argument("--multi_step_action", type=int, default=1)
+    p.add_argument("--pad_length", type=int, default=-1)
+    p.add_argument("--future_act_len", type=int, default=-1)
+    p.add_argument("--real_eval_max_steps", type=int, default=600)
+    p.add_argument("--calvin_input_image_size", type=int, default=None)
+    p.add_argument("--image_primary_size", type=int, default=None)
+    p.add_argument("--image_wrist_size", type=int, default=None)
 
 
 def _add_io_flags(p: argparse.ArgumentParser) -> None:
@@ -131,6 +186,11 @@ def _configs_from_args(args):
         mcfg, tcfg = PRESETS[args.preset]()
     else:
         mcfg, tcfg = DreamVLAConfig(), TrainConfig()
+    if (getattr(args, "precision", None)
+            and getattr(args, "compute_dtype", None) is None):
+        # reference precision strings like 'bf16_and_fp32' (train.py:122-163)
+        args.compute_dtype = ("float32" if "fp32" == args.precision
+                              else "bfloat16")
     m_overrides = {f.name: getattr(args, f.name)
                    for f in dataclasses.fields(DreamVLAConfig)
                    if getattr(args, f.name, None) is not None}
@@ -218,8 +278,14 @@ def cmd_train(args) -> None:
     elif args.finetune_type == "droid":
         from dreamvla_tpu.data.droid_oxe import get_droid_dataset
 
+        scaling = {k: v for k, v in (
+            ("max_rel_pos", args.max_rel_pos),
+            ("max_rel_orn", args.max_rel_orn),
+            ("magic_scaling_factor_pos", args.magic_scaling_factor_pos),
+            ("magic_scaling_factor_orn", args.magic_scaling_factor_orn),
+        ) if v is not None}
         data = get_droid_dataset(args.root_dir, ["droid_success"],
-                                 args.dataset_info, **common)
+                                 args.dataset_info, **scaling, **common)
     elif args.finetune_type == "oxe":
         from dreamvla_tpu.data.droid_oxe import OXE_DATASET_NAMES, get_oxe_dataset
 
@@ -272,6 +338,9 @@ def cmd_train(args) -> None:
         state, _ = train_one_epoch(model, tcfg, state, step_fn, data, epoch,
                                    rng, mesh=mesh, logger=logger,
                                    profile_dir=args.profile_dir,
+                                   save_every_iter=args.save_every_iter,
+                                   ckpt_dir=f"{args.save_checkpoint_path}/"
+                                            f"{args.run_name}",
                                    is_saver=rank == 0)
         if val_data is not None and rank == 0:
             from dreamvla_tpu.eval.offline import evaluate_open_loop
@@ -281,7 +350,9 @@ def cmd_train(args) -> None:
             if logger is not None:
                 logger.log({f"val/{k}": v for k, v in metrics.items()},
                            step=int(jax.device_get(state.step)))
-        if rank == 0 and args.save_checkpoint and epoch % args.save_checkpoint_seq == 0:
+        if (rank == 0 and args.save_checkpoint
+                and epoch % args.save_checkpoint_seq == 0
+                and epoch >= args.start_save_checkpoint):
             save_checkpoint(f"{args.save_checkpoint_path}/{args.run_name}",
                             epoch, state,
                             delete_previous=args.delete_previous_checkpoint)

@@ -170,7 +170,7 @@ class DreamVLAConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-4
-    lr_scheduler: str = "cosine"  # constant | linear | cosine
+    lr_scheduler: str = "cosine"  # constant|linear|cosine|cosine_restart
     warmup_epochs: int = 1
     num_epochs: int = 20
     weight_decay: float = 1e-4

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Iterable, Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 FROZEN_SUBTREES = ("vision_encoder", "text_encoder")
@@ -33,6 +34,22 @@ def build_lr_schedule(kind: str, base_lr: float, warmup_steps: int,
     if kind == "cosine":
         return optax.warmup_cosine_decay_schedule(
             0.0, base_lr, max(warmup_steps, 1), max(total_steps, 2), end_value=0.0)
+    if kind == "cosine_restart":
+        # torch CosineAnnealingWarmRestarts(T_0=10, T_mult=2, eta_min=1e-7),
+        # stepped per optimizer step like the reference wires it
+        # (train.py:205-206 + train_utils.py:605); no warmup.
+        t0, t_mult, eta_min = 10.0, 2.0, 1e-7
+
+        def sched(step):
+            s = jnp.maximum(jnp.asarray(step, jnp.float32), 0.0)
+            n = jnp.floor(jnp.log2(s / t0 * (t_mult - 1.0) + 1.0))
+            start = t0 * (t_mult ** n - 1.0) / (t_mult - 1.0)
+            t_i = t0 * t_mult ** n
+            t_cur = s - start
+            return eta_min + (base_lr - eta_min) * (
+                1.0 + jnp.cos(jnp.pi * t_cur / t_i)) / 2.0
+
+        return sched
     raise ValueError(f"unknown lr scheduler {kind!r}")
 
 

@@ -205,3 +205,40 @@ def test_train_routing_reaches_droid_oxe_real(monkeypatch, tmp_path):
         with pytest.raises(RuntimeError, match="stop-after-routing"):
             cli.cmd_train(args)
     assert calls == ["droid", "oxe", "real"]
+
+
+def test_train_parser_accepts_every_reference_flag():
+    """Every flag the reference argparse defines
+    (utils/arguments_utils.py:43-311) parses on our train subcommand, so
+    any reference launch script can be replayed verbatim."""
+    import re
+
+    ref = open("/root/reference/utils/arguments_utils.py").read()
+    ref_flags = sorted(set(re.findall(r'add_argument\(\s*"--([a-zA-Z0-9_]+)"',
+                                      ref)))
+    # eval-only flags live on the eval subcommands
+    eval_only = {"amp", "calvin_conf_path", "checkpoint_index", "cross_att",
+                 "debug", "diverse_inst", "eval_index", "eval_log_dir",
+                 "evaluate_from_checkpoint", "future_act_len", "pt_index",
+                 "reset", "visualize", "in9_size", "dert_style"}
+    parser = cli.build_parser()
+    argv = ["train"]
+    store_true = set(re.findall(
+        r'add_argument\(\s*"--([a-zA-Z0-9_]+)"[^)]*action="store_true"', ref))
+    int_flags = set(re.findall(
+        r'add_argument\(\s*"--([a-zA-Z0-9_]+)"[^)]*type=int', ref))
+    float_flags = set(re.findall(
+        r'add_argument\(\s*"--([a-zA-Z0-9_]+)"[^)]*type=float', ref))
+    for f in ref_flags:
+        if f in eval_only:
+            continue
+        if f in store_true:
+            argv.append(f"--{f}")
+        elif f in int_flags:
+            argv += [f"--{f}", "1"]
+        elif f in float_flags:
+            argv += [f"--{f}", "0.5"]
+        else:
+            argv += [f"--{f}", "x"]
+    args = parser.parse_args(argv)
+    assert args.command == "train"

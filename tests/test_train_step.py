@@ -109,3 +109,26 @@ def test_prepare_model_inputs_contract(tiny_setup):
     # chunk j at time t is action at t+j
     np.testing.assert_array_equal(
         np.asarray(inp["action_label"][:, 0, 1]), batch["actions"][:, 1])
+
+
+def test_cosine_restart_schedule_matches_torch():
+    """cosine_restart mirrors torch CosineAnnealingWarmRestarts(T_0=10,
+    T_mult=2, eta_min=1e-7) stepped per optimizer step (reference
+    train.py:205-206)."""
+    import torch
+
+    from dreamvla_tpu.train.optimizer import build_lr_schedule
+
+    base_lr = 3e-4
+    sched = build_lr_schedule("cosine_restart", base_lr, warmup_steps=0,
+                              total_steps=1000)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=10, T_mult=2, eta_min=1e-7)
+    for step in range(100):
+        want = opt.param_groups[0]["lr"]
+        got = float(sched(step))
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"step {step}")
+        opt.step()
+        tsched.step()
