@@ -173,3 +173,36 @@ def test_batched_libero_rollout_loop(wrapper):
     succ = evaluate_tasks_batched(envs, FakeBatchedPolicy(), 6,
                                   ["a", "b"], [{"t": 0}, {"t": 0}])
     assert succ == [1, 0]
+
+
+def test_feature_cache_parity_with_dit_head():
+    """With the DiT head, the cached path samples ONLY the selected history
+    position — the row-sliced initial noise must keep actions bit-identical
+    to the full-recompute path that samples every position."""
+    cfg, _ = tiny_test()
+    cfg = dataclasses.replace(cfg, include_text_encoder=True,
+                              use_dit_head=True, dit_type="DiT-S")
+    model = DreamVLA(cfg)
+    b, s = 1, cfg.sequence_length
+    inputs = dict(
+        image_primary=np.zeros((b, s, 3, 32, 32), np.float32),
+        image_wrist=np.zeros((b, s, 3, 32, 32), np.float32),
+        state=np.zeros((b, s, 7), np.float32),
+        text_tokens=np.zeros((b, 77), np.int32),
+        action_label=np.zeros((b, s, cfg.action_pred_steps, 7), np.float32),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        mode="train", train=False, **inputs)
+    params = variables["params"]
+    rng = np.random.default_rng(5)
+    obs = [make_calvin_obs(rng, t) for t in range(4)]
+    pw_full = PolicyWrapper(model, params, tokenizer=get_tokenizer(),
+                            env="calvin", feature_cache=False, seed=3)
+    pw_cache = PolicyWrapper(model, params, tokenizer=get_tokenizer(),
+                             env="calvin", feature_cache=True, seed=3)
+    for t, o in enumerate(obs):
+        a_full = pw_full.step(o, "task", t)
+        a_cache = pw_cache.step(o, "task", t)
+        np.testing.assert_allclose(a_cache, a_full, atol=1e-5,
+                                   err_msg=f"step {t}")
