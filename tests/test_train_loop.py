@@ -64,7 +64,8 @@ def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
     state2, losses = train_one_epoch(
         model, tcfg, state, step, data, epoch=0, rng=jax.random.PRNGKey(1),
         mesh=mesh, logger=logger, log_every=1,
-        save_every_iter=2, ckpt_dir=str(tmp_path / "ck"))
+        save_every_iter=2, ckpt_dir=str(tmp_path / "ck"),
+        profile_dir=str(tmp_path / "prof"), profile_steps=(0, 1))
     assert losses is not None and np.isfinite(float(losses.total))
     assert int(state2.step) == data.dataloader.num_batches
     # metrics went to stdout as JSON lines
@@ -77,6 +78,10 @@ def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
 
     with ocp.CheckpointManager(str(tmp_path / "ck")) as mgr:
         assert mgr.all_steps() == [0]
+    # --profile_dir captured a jax.profiler trace of steady-state steps
+    import glob
+
+    assert glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
 
 
 def test_panels_build(calvin_root, tmp_path):
