@@ -146,6 +146,9 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_checkpoint_path", default="checkpoints/run")
     p.add_argument("--run_name", default="dreamvla_tpu")
     p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--checkpoint_epoch", type=int, default=None,
+                   help="evaluate a specific saved epoch instead of the "
+                        "latest (reference eval scripts sweep 26..39)")
     p.add_argument("--finetune_from_pretrained_ckpt", default=None)
     p.add_argument("--vit_checkpoint_path", default=None)
     p.add_argument("--clip_checkpoint_path", default=None)
@@ -387,7 +390,9 @@ def _restore_policy(args):
 
             state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                opt_state=None)
-            state, _ = restore_checkpoint(args.resume_from_checkpoint, state)
+            state, _ = restore_checkpoint(
+                args.resume_from_checkpoint, state,
+                epoch=getattr(args, "checkpoint_epoch", None))
             params = state.params
     return model, params, mcfg
 
