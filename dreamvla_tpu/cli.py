@@ -18,7 +18,6 @@ import argparse
 import dataclasses
 
 import jax
-import numpy as np
 
 
 def _add_model_flags(p: argparse.ArgumentParser) -> None:

@@ -15,7 +15,6 @@ DDIM loop is part of the same compiled function.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional
 
 import jax

@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from dreamvla_tpu.extract.dinov2 import _interp_pos

@@ -11,7 +11,6 @@ equivalent, riding ICI).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

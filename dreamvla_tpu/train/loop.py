@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dreamvla_tpu.config import DreamVLAConfig, TrainConfig
-from dreamvla_tpu.ops.augment import random_shifts_aug
 from dreamvla_tpu.parallel.mesh import shard_batch
 from dreamvla_tpu.utils.logging import AverageMeter, MetricLogger
 

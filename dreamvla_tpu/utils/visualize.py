@@ -7,7 +7,6 @@ rendering) and the wandb image panels assembled in train_utils.py:640-708
 
 from __future__ import annotations
 
-import colorsys
 
 import numpy as np
 
