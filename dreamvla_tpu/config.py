@@ -59,6 +59,9 @@ class DreamVLAConfig:
     no_pred_gripper_traj: bool = False
     no_unshuffle: bool = False
     share_query: bool = False
+    # TPU-side: run the trunk in [A | dream-query | action] token order so
+    # role-split attention slices contiguously (exact; default on)
+    trunk_token_reorder: bool = True
     track_label_patch_size: int = 8
     # attention-mask flags
     atten_goal: int = 0

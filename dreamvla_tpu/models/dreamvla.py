@@ -41,6 +41,7 @@ from dreamvla_tpu.models.dit import ActionDiffusionConfig, ActionDiffusionHead, 
 from dreamvla_tpu.models.gpt2 import GPT2Trunk
 from dreamvla_tpu.models.resampler import PerceiverResampler
 from dreamvla_tpu.models.vit_mae import MaskedAutoencoderViT
+from dreamvla_tpu.ops.attention import BlockSplit, token_permutation
 from dreamvla_tpu.ops.masks import MaskSpec, build_attention_bias, sample_obs_drop
 
 
@@ -141,13 +142,17 @@ class DreamVLA(nn.Module):
             "transformer_backbone_position_embedding",
             nn.initializers.normal(0.02), (1, cfg.sequence_length, 1, h))
         self.embedding_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt)
-        # NOTE: ops.attention.structured_attention (exact block-split
-        # decomposition) was evaluated here and measured neutral-to-slower
-        # on v5e (the QK^T dot is not kv-length-bound at these shapes) with
-        # a large jit-compile-time cost; the trunk keeps dense flash.
+        # role-split attention over reordered tokens (exact; ~2.7x fewer
+        # attention FLOPs). cfg.trunk_token_reorder=False falls back to
+        # dense flash over the interleaved layout.
+        split = None
+        if cfg.trunk_token_reorder and cfg.total_query_tokens > 0:
+            split = BlockSplit(k=cfg.sequence_length, na=cfg.num_a,
+                               nobs=cfg.total_query_tokens,
+                               aps=cfg.action_pred_steps)
         self.transformer_backbone = GPT2Trunk(
             num_layers=cfg.transformer_layers, num_heads=cfg.transformer_heads,
-            dropout=cfg.dropout, dtype=dt, remat=cfg.remat,
+            dropout=cfg.dropout, dtype=dt, remat=cfg.remat, split=split,
         )
 
         # dream decoders ----------------------------------------------------
@@ -344,7 +349,21 @@ class DreamVLA(nn.Module):
             obs_drop = sample_obs_drop(self.make_rng("mask"), spec)
         bias = build_attention_bias(spec, obs_drop=obs_drop)
         x = self.embedding_layer_norm(x)
-        x = self.transformer_backbone(x, bias=bias, deterministic=not train)
+        if self.transformer_backbone.split is not None:
+            # trunk runs in [A | dream-query | action] token order so the
+            # role-split attention slices contiguously (the interleaved
+            # layout's strided gathers cost more than the kernel itself);
+            # everything else in the trunk is per-token, so permuting
+            # around it is exact. See ops.attention.token_permutation.
+            import numpy as np
+
+            perm = token_permutation(self.transformer_backbone.split)
+            inv = np.argsort(perm)
+            x = self.transformer_backbone(x[:, perm], bias=bias[perm][:, perm],
+                                          deterministic=not train)[:, inv]
+        else:
+            x = self.transformer_backbone(x, bias=bias,
+                                          deterministic=not train)
         x = x.reshape(b, s, cfg.tokens_per_step, h)
 
         out = DreamVLAOutputs()

@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from dreamvla_tpu.models.layers import gelu_tanh
 from dreamvla_tpu.ops.attention import (BlockSplit, multi_head_attention,
-                                        structured_attention)
+                                        reordered_attention)
 
 
 class GPT2Attention(nn.Module):
@@ -48,9 +48,10 @@ class GPT2Attention(nn.Module):
             return jnp.moveaxis(t.reshape(b, l, self.num_heads, hd), 1, 2)
 
         if self.split is not None and bias is not None:
-            # exact block-structured decomposition (~2.7x fewer attention
-            # FLOPs at the flagship shape) — see ops.attention
-            o = structured_attention(
+            # inputs arrive TOKEN-REORDERED ([A | query | action], see
+            # ops.attention.token_permutation): the exact role-split
+            # decomposition then uses contiguous slices only
+            o = reordered_attention(
                 heads_first(q), heads_first(k), heads_first(v), bias,
                 self.split, use_pallas=self.use_pallas,
             )

@@ -166,7 +166,7 @@ def _flash_attention_fwd(q, k, v, bias, scale):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
+                dq_ref, dk_ref, dv_ref, dbias_ref=None, *, scale: float,
                 q_tile: int):
     """Flash backward for a GROUP of (batch*head) slices: rematerialise
     scores per q-tile, accumulate dk/dv across q-tiles in VMEM, write dq
@@ -212,10 +212,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
     dv_ref[:] += jax.lax.dot_general(
         p, g, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dbias_ref[0] = jnp.sum(ds, axis=0)
+    if dbias_ref is not None:
+        # only when the caller trains the bias (bias_grad=True); the trunk
+        # mask is non-trainable (reference requires_grad=False), so the
+        # default path skips the dbias compute + (groups, L, L) HBM traffic
+        dbias_ref[0] = jnp.sum(ds, axis=0)
 
 
-def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
+def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False,
+                    want_dbias=True):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     q_tile = min(_Q_TILE_MAX, _round_up(lq, _LANE))
@@ -240,35 +245,44 @@ def _flash_bwd_impl(q, k, v, bias, g, scale, interpret=False):
     # grid (groups, q_tiles): q-tile axis minor so dk/dv block indices are
     # constant across consecutive programs (see _bwd_kernel docstring)
     grid = (n_groups, lq_pad // q_tile)
-    dq, dk, dv, dbias_g = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
+        pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+        pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+        pl.BlockSpec((q_tile, lk_pad), lambda g, i: (i, 0)),
+        pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
+        pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+        pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+        jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
+    ]
+    if want_dbias:
+        out_specs.append(
+            pl.BlockSpec((1, q_tile, lk_pad), lambda g, i: (g, i, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_groups, lq_pad, lk_pad), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, q_tile=q_tile),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((q_tile, lk_pad), lambda g, i: (i, 0)),
-            pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((bh_block, q_tile, d_pad), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((bh_block, lk_pad, d_pad), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, q_tile, lk_pad), lambda g, i: (g, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups, lq_pad, lk_pad), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(qp, kp, vp, bp, gp)
+    dq, dk, dv = outs[:3]
     dq = dq.reshape(b, h, lq_pad, d_pad)[:, :, :lq, :d]
     dk = dk.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d].astype(k.dtype)
     dv = dv.reshape(b, h, lk_pad, d_pad)[:, :, :lk, :d].astype(v.dtype)
-    dbias = jnp.sum(dbias_g, axis=0)
+    if not want_dbias:
+        return dq, dk, dv, None
+    dbias = jnp.sum(outs[3], axis=0)
     return dq, dk, dv, dbias[:lq, :lk]
 
 
@@ -281,6 +295,29 @@ def _flash_attention_bwd(scale, res, g):
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_nbg(q, k, v, bias, scale):
+    """Flash attention whose backward treats the bias as a constant (the
+    trunk mask is non-trainable, reference dreamvla_model.py:286-298) --
+    skips the dbias compute and its (groups, L, L) fp32 HBM traffic."""
+    return _flash_fwd_impl(q, k, v, bias, scale)
+
+
+def _flash_attention_nbg_fwd(q, k, v, bias, scale):
+    return _flash_fwd_impl(q, k, v, bias, scale), (q, k, v, bias)
+
+
+def _flash_attention_nbg_bwd(scale, res, g):
+    q, k, v, bias = res
+    dq, dk, dv, _ = _flash_bwd_impl(q, k, v, bias, g, scale,
+                                    want_dbias=False)
+    return dq, dk, dv, (jnp.zeros_like(bias) if bias is not None else None)
+
+
+_flash_attention_nbg.defvjp(_flash_attention_nbg_fwd,
+                            _flash_attention_nbg_bwd)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -288,10 +325,13 @@ def multi_head_attention(
     bias: jnp.ndarray | None = None,
     scale: float | None = None,
     use_pallas: bool | None = None,
+    bias_grad: bool = False,
 ) -> jnp.ndarray:
     """Dispatching attention: Pallas flash kernel on TPU, XLA elsewhere.
 
-    q, k, v: (B, H, L, D); bias: optional (Lq, Lk) additive, shared over B/H.
+    q, k, v: (B, H, L, D); bias: optional (Lq, Lk) additive, shared over
+    B/H. bias_grad=False (default) treats the bias as a constant in the
+    backward pass -- no caller in this model trains an attention bias.
     """
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
@@ -303,7 +343,9 @@ def multi_head_attention(
         # wins. Threshold: query length >= 128.
         use_pallas = is_tpu_backend() and q.shape[2] >= 128
     if use_pallas:
-        return _flash_attention(q, k, v, bias, scale)
+        if bias_grad:
+            return _flash_attention(q, k, v, bias, scale)
+        return _flash_attention_nbg(q, k, v, bias, scale)
     return mha_reference(q, k, v, bias, scale)
 
 
@@ -379,6 +421,58 @@ def structured_attention(
         [oA.reshape(b, h, K, na + nobs, d),
          oact.reshape(b, h, K, aps, d)], axis=3)
     return o.reshape(b, h, L, d)
+
+
+def token_permutation(split: BlockSplit) -> "np.ndarray":
+    """Permutation gathering trunk tokens into [all A | all dream-query |
+    all action] order (from the interleaved per-timestep-block layout).
+
+    With this order every role's rows/cols are CONTIGUOUS ranges, so
+    `reordered_attention`'s operand slices are cheap (the interleaved
+    93-block strided gathers measured ~1.3 ms/layer at the flagship
+    serving shape — more than the attention kernel itself)."""
+    import numpy as np
+
+    K, na, nobs, aps = split.k, split.na, split.nobs, split.aps
+    nb = split.block
+    base = np.arange(K)[:, None] * nb
+    a_idx = (base + np.arange(na)[None]).reshape(-1)
+    o_idx = (base + na + np.arange(nobs)[None]).reshape(-1)
+    act_idx = (base + na + nobs + np.arange(aps)[None]).reshape(-1)
+    return np.concatenate([a_idx, o_idx, act_idx])
+
+
+def reordered_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    split: BlockSplit,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Exact trunk attention over TOKEN-REORDERED inputs ([A | query | act]
+    order, see `token_permutation`; `bias` must be permuted the same way).
+
+    Decomposes exactly like `structured_attention` — A/dream-query rows
+    only ever attend to A keys (reference generate_attention_mask rules,
+    dreamvla_model.py:25-66), action rows to everything — but with
+    contiguous slices instead of strided per-block gathers.
+    """
+    b, h, L, d = q.shape
+    K, na, nobs, aps = split.k, split.na, split.nobs, split.aps
+    assert L == K * split.block, (L, split)
+    scale = d**-0.5 if scale is None else scale
+    nA, nQ = K * na, K * (na + nobs)
+
+    oA = multi_head_attention(
+        q[:, :, :nQ], k[:, :, :nA], v[:, :, :nA], bias[:nQ, :nA],
+        scale=scale, use_pallas=use_pallas)
+    if aps == 0:
+        return oA
+    oact = multi_head_attention(
+        q[:, :, nQ:], k, v, bias[nQ:], scale=scale, use_pallas=use_pallas)
+    return jnp.concatenate([oA, oact], axis=2)
 
 
 def is_tpu_backend() -> bool:

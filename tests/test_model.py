@@ -206,3 +206,41 @@ def test_flow_matching_head_train_and_sample(tiny_inputs):
                           jax.random.PRNGKey(4))
     assert samples.shape == (b * s, aps, 7)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_trunk_token_reorder_is_exact():
+    """Reordered role-split trunk attention must reproduce the dense
+    interleaved forward exactly (same params, both mask-flag styles)."""
+    import dataclasses as dc
+
+    from dreamvla_tpu.config import tiny_test
+
+    for flags in (dict(), dict(atten_only_obs=True,
+                               attn_robot_proprio_state=True)):
+        cfg, _ = tiny_test()
+        cfg = dc.replace(cfg, include_text_encoder=False, **flags)
+        assert cfg.trunk_token_reorder and cfg.total_query_tokens > 0
+        cfg_plain = dc.replace(cfg, trunk_token_reorder=False)
+        rng = np.random.default_rng(0)
+        b, s = 2, cfg.sequence_length
+        inputs = dict(
+            image_primary=jnp.asarray(rng.normal(size=(b, s, 3, 32, 32)),
+                                      jnp.float32),
+            image_wrist=jnp.asarray(rng.normal(size=(b, s, 3, 32, 32)),
+                                    jnp.float32),
+            state=jnp.asarray(rng.normal(size=(b, s, 7)), jnp.float32),
+            text_features=jnp.asarray(rng.normal(size=(b, 512)), jnp.float32),
+        )
+        model_r = DreamVLA(cfg)
+        model_p = DreamVLA(cfg_plain)
+        variables = model_r.init({"params": jax.random.PRNGKey(0)},
+                                 mode="test", train=False, **inputs)
+        out_r = model_r.apply(variables, mode="test", train=False, **inputs)
+        out_p = model_p.apply(variables, mode="test", train=False, **inputs)
+        np.testing.assert_allclose(
+            np.asarray(out_r.action_features, np.float32),
+            np.asarray(out_p.action_features, np.float32),
+            atol=1e-5, err_msg=str(flags))
+        np.testing.assert_allclose(
+            np.asarray(out_r.arm_action, np.float32),
+            np.asarray(out_p.arm_action, np.float32), atol=1e-5)

@@ -301,3 +301,27 @@ def test_flash_kernels_grouped_bh_path():
     for a, b_, name in zip(got_g, want_g, ("dq", "dk", "dv", "dbias")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4,
                                    err_msg=name)
+
+
+def test_attention_nbg_grads_match_and_skip_dbias():
+    """The default bias_grad=False path: dq/dk/dv match autodiff of the
+    reference; no dbias is computed (interpret mode)."""
+    from dreamvla_tpu.ops.attention import _flash_bwd_impl
+
+    rng = np.random.default_rng(12)
+    q, k, v = _rand_qkv(rng, b=1, h=2, lq=300, lk=300, d=64)
+    bias = np.where(rng.random((300, 300)) < 0.3, -1e9, 0.0).astype(np.float32)
+    bias[:, 0] = 0.0
+    g = rng.normal(size=q.shape).astype(np.float32)
+    args = tuple(map(jnp.asarray, (q, k, v, bias)))
+
+    def fwd(q, k, v, bias):
+        return jnp.sum(mha_reference(q, k, v, bias) * jnp.asarray(g))
+
+    want = jax.grad(fwd, argnums=(0, 1, 2))(*args)
+    got = _flash_bwd_impl(*args, jnp.asarray(g), scale=64**-0.5,
+                          interpret=True, want_dbias=False)
+    assert got[3] is None
+    for a, b, name in zip(got[:3], want, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=name)
