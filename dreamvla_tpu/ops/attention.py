@@ -59,7 +59,10 @@ def _bh_group(bh: int, q_tile: int, lk_pad: int, d_pad: int,
     per_slice = (q_tile * lk_pad * 4 * n_score_bufs
                  + 2 * lk_pad * d_pad * 2         # K + V (input dtype)
                  + 2 * q_tile * d_pad * 4)        # Q + O
-    for g in (4, 2, 1):
+    # small shapes (e.g. the ViT encoders at L=197) are program-overhead
+    # bound with small groups — the budget test alone picks G=4 at the
+    # trunk shape and large G at encoder shapes
+    for g in (32, 16, 8, 4, 2, 1):
         if bh % g == 0 and g * per_slice <= vmem_budget:
             return g
     return 1
