@@ -234,18 +234,46 @@ def calvin_finetune() -> Tuple[DreamVLAConfig, TrainConfig]:
     return model, train
 
 
+def libero_pretrain() -> Tuple[DreamVLAConfig, TrainConfig]:
+    """scripts/LIBERO/DreamVLA/pretrain.sh:11-58 (libero_90_converted)."""
+    model = DreamVLAConfig(
+        sequence_length=11, num_resampler_query=16, num_obs_token_per_image=9,
+        obs_pred=True, atten_goal=4, atten_goal_state=True,
+        atten_only_obs=True, attn_robot_proprio_state=True,
+        mask_l_obs_ratio=0.5, gripper_width=True, action_pred_steps=3,
+        phase="pretrain",
+    )
+    train = TrainConfig(
+        learning_rate=1e-4, num_epochs=30, batch_size=10,
+        gradient_accumulation_steps=8, warmup_epochs=1, window_size=11,
+        future_steps=3, loss_action=True, loss_image=True,
+    )
+    return model, train
+
+
 def libero_finetune() -> Tuple[DreamVLAConfig, TrainConfig]:
-    """scripts/LIBERO/DreamVLA/finetune_spatial.sh:43-69."""
+    """scripts/LIBERO/DreamVLA/finetune_spatial.sh:16-69 (goal/object/long
+    differ only in --libero_path / run name; pass the suite on the CLI)."""
     model = DreamVLAConfig(
         sequence_length=7, num_resampler_query=16, num_obs_token_per_image=9,
-        obs_pred=True, use_dit_head=True, action_pred_steps=3, phase="finetune",
+        obs_pred=True, sam_feat_pred=True, gripper_width=True,
+        use_dit_head=True, action_pred_steps=3, phase="finetune",
     )
     train = TrainConfig(
         learning_rate=2e-4, num_epochs=40, batch_size=16,
-        gradient_accumulation_steps=4, window_size=10, future_steps=3,
-        loss_action=True, loss_image=True,
+        gradient_accumulation_steps=4, warmup_epochs=5, window_size=10,
+        future_steps=3, loss_action=True, loss_image=True,
+        loss_sam_feat=True, flow_as_mask=True,
     )
     return model, train
+
+
+def libero_scratch() -> Tuple[DreamVLAConfig, TrainConfig]:
+    """scripts/LIBERO/DreamVLA/scratch_spatial.sh:17-64 — identical config to
+    the finetune preset (diff-verified: the four scratch_* scripts differ only
+    by --libero_path/run name; finetune adds --finetune_from_pretrained_ckpt,
+    which is a CLI path, not a preset field)."""
+    return libero_finetune()
 
 
 def tiny_test() -> Tuple[DreamVLAConfig, TrainConfig]:
@@ -269,6 +297,8 @@ def tiny_test() -> Tuple[DreamVLAConfig, TrainConfig]:
 PRESETS = {
     "calvin_pretrain": calvin_pretrain,
     "calvin_finetune": calvin_finetune,
+    "libero_pretrain": libero_pretrain,
     "libero_finetune": libero_finetune,
+    "libero_scratch": libero_scratch,
     "tiny_test": tiny_test,
 }

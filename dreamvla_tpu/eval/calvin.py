@@ -152,47 +152,45 @@ def evaluate_sequences_batched(envs, policy, task_oracle, work,
     for i in range(k):
         load_next(i)
 
-    import contextlib
     from concurrent.futures import ThreadPoolExecutor
-
-    ctx = contextlib.ExitStack()
 
     def step_env(i, actions):
         if slots[i] is None:
             return None
         return envs[i].step(actions[i])
 
-    pool = ctx.enter_context(ThreadPoolExecutor(max_workers=k))
-    while any(s is not None for s in slots):
-        steps = np.asarray([s.step if s else 0 for s in slots])
-        # idle/never-filled slots feed a placeholder obs; actions discarded
-        fallback = next(o for o in obs if o is not None)
-        obs_list = [o if o is not None else fallback for o in obs]
-        actions = policy.step(obs_list, steps)
-        # sims step concurrently (PyBullet physics releases the GIL); the
-        # host would otherwise serialise K env.step calls per policy step
-        stepped = list(pool.map(lambda i: step_env(i, actions), range(k)))
-        for i in range(k):
-            slot = slots[i]
-            if slot is None:
-                continue
-            o, _, _, info = stepped[i]
-            obs[i] = o
-            slot.step += 1
-            subtask = slot.sequence[slot.subtask_i]
-            if task_oracle.get_task_info_for_set(slot.start_info, info,
-                                                 {subtask}):
-                slot.successes += 1
-                slot.subtask_i += 1
-                if slot.subtask_i >= len(slot.sequence):
+    # with-block (not a bare ExitStack): an exception in the rollout loop
+    # must still join the worker threads (eval/libero.py does the same)
+    with ThreadPoolExecutor(max_workers=k) as pool:
+        while any(s is not None for s in slots):
+            steps = np.asarray([s.step if s else 0 for s in slots])
+            # idle/never-filled slots feed a placeholder obs; actions discarded
+            fallback = next(o for o in obs if o is not None)
+            obs_list = [o if o is not None else fallback for o in obs]
+            actions = policy.step(obs_list, steps)
+            # sims step concurrently (PyBullet physics releases the GIL); the
+            # host would otherwise serialise K env.step calls per policy step
+            stepped = list(pool.map(lambda i: step_env(i, actions), range(k)))
+            for i in range(k):
+                slot = slots[i]
+                if slot is None:
+                    continue
+                o, _, _, info = stepped[i]
+                obs[i] = o
+                slot.step += 1
+                subtask = slot.sequence[slot.subtask_i]
+                if task_oracle.get_task_info_for_set(slot.start_info, info,
+                                                     {subtask}):
+                    slot.successes += 1
+                    slot.subtask_i += 1
+                    if slot.subtask_i >= len(slot.sequence):
+                        results[slot.seq_idx] = slot.successes
+                        load_next(i)
+                    else:
+                        begin_rollout(i, new_sequence=False)
+                elif slot.step >= ep_len:
                     results[slot.seq_idx] = slot.successes
                     load_next(i)
-                else:
-                    begin_rollout(i, new_sequence=False)
-            elif slot.step >= ep_len:
-                results[slot.seq_idx] = slot.successes
-                load_next(i)
-    ctx.close()
     return results
 
 

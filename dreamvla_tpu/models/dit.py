@@ -287,4 +287,11 @@ class ActionDiffusionHead:
             return jnp.split(samples, 2, axis=0)[0]
         if use_ddim:
             return ddim_sample_loop(apply, self.ddim_schedule, noise)
+        # DDPM draws fresh per-step noise at batch n inside the loop, so the
+        # row-sliced-initial-noise parity trick (noise_rows) does not extend
+        # to this branch — it only holds for the deterministic DDIM/FM loops.
+        if noise_rows is not None:
+            raise ValueError(
+                "noise_rows bit-parity is only defined for use_ddim=True or "
+                "flow_matching; DDPM per-step noise is drawn at batch n")
         return p_sample_loop(apply, self.schedule, noise, r_loop)

@@ -10,8 +10,10 @@ Sequence lengths in this model family are short (<= ~1.3k tokens), so the
 kernel keeps the full K/V for one (batch, head) resident in VMEM and does a
 single-pass softmax per query tile — simpler and faster than online-softmax
 streaming at these sizes. Gradients flow through a custom VJP whose backward
-is pure XLA (rematerialised scores; fused by the compiler), keeping training
-correct while inference takes the Pallas path.
+is also a Pallas kernel (`_flash_bwd_*` below): scores are rematerialised in
+VMEM and dQ/dK/dV are accumulated with the dk/dv grid axis minor so each
+output block is only touched by consecutive programs (see the round-2 race
+fix, commit 69ea6ab). An XLA fallback remains for interpret/CPU runs.
 """
 
 from __future__ import annotations
@@ -49,7 +51,7 @@ def _round_up(a: int, b: int) -> int:
 def _bh_group(bh: int, q_tile: int, lk_pad: int, d_pad: int,
               vmem_budget: int = 24 * 1024 * 1024,
               n_score_bufs: int = 2) -> int:
-    """Largest divisor of bh (<= 4) whose per-program VMEM footprint
+    """Largest divisor of bh (<= 32) whose per-program VMEM footprint
     (fp32 scores + exp temps dominate) stays under the budget.
 
     Swept on v5e at the flagship trunk shape (bh=256, TQ=512, Lk=1024):

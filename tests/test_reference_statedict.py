@@ -22,7 +22,11 @@ import pytest
 import torch
 from torch import nn
 
-from dreamvla_tpu.utils.ref_shims import build_reference_model
+from dreamvla_tpu.utils.ref_shims import REFERENCE_PATH, build_reference_model
+
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.exists(REFERENCE_PATH),
+    reason="reference checkout not available")
 
 
 @pytest.fixture(scope="module")
