@@ -22,7 +22,32 @@ _LIB_PATHS = (
 )
 
 
+def _try_build() -> None:
+    """Build libframeloader.so in-tree on first import (one `make` call;
+    ~1 s). Skipped when the source tree is absent (wheel installs ship the
+    .so), the toolchain is missing, or DREAMVLA_NO_NATIVE_BUILD is set."""
+    if os.environ.get("DREAMVLA_NO_NATIVE_BUILD"):
+        return
+    src_dir = _LIB_PATHS[0].parent
+    if not (src_dir / "Makefile").exists():
+        return
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", str(src_dir)], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as exc:  # toolchain missing / ro filesystem: fall back
+        import warnings
+
+        warnings.warn(
+            f"native frame loader build failed ({exc}); data loading falls "
+            f"back to single-threaded numpy — run `make -C {src_dir}` "
+            f"manually or set DREAMVLA_NO_NATIVE_BUILD=1 to silence")
+
+
 def _load_lib() -> Optional[ctypes.CDLL]:
+    if not any(p.exists() for p in _LIB_PATHS):
+        _try_build()
     for p in _LIB_PATHS:
         if p.exists():
             lib = ctypes.CDLL(str(p))

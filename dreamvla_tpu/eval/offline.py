@@ -37,7 +37,8 @@ def evaluate_open_loop(model: DreamVLA, params, data_info,
         rng, sub = jax.random.split(rng)
         arm, grip = policy(params, inputs["image_primary"],
                            inputs["image_wrist"], inputs["state"],
-                           inputs.get("text_tokens"), sub)
+                           inputs.get("text_tokens",
+                                      inputs.get("text_features")), sub)
         labels = inputs["action_label"]  # (B, S, steps, 7)
         s_eff = cfg.sequence_length - cfg.atten_goal
         arm_l1 += float(jnp.mean(jnp.abs(

@@ -39,10 +39,14 @@ def build_policy_core(model: DreamVLA) -> Callable:
         head = ActionDiffusionHead(model.action_diffusion_config(),
                                    build_dit(model.action_diffusion_config()))
 
-    def policy(params, image_primary, image_wrist, state, text_tokens, rng):
+    def policy(params, image_primary, image_wrist, state, text, rng):
+        # `text` is tokens (B, 77) when the model owns a text encoder,
+        # otherwise precomputed CLIP features (B, 512)
+        text_kw = ("text_tokens" if cfg.include_text_encoder
+                   else "text_features")
         out = model.apply({"params": params}, image_primary, image_wrist,
-                          state, text_tokens=text_tokens, mode="test",
-                          train=False)
+                          state, mode="test", train=False,
+                          **{text_kw: text})
         if cfg.use_dit_head:
             b, s, aps, h = out.action_features.shape
             z = out.action_features.reshape(b * s, aps, h).astype(jnp.float32)

@@ -9,9 +9,26 @@ import numpy as np
 from dreamvla_tpu.config import DreamVLAConfig, TrainConfig
 
 
+def _smooth_images(rng, batch, w, c, hw):
+    """Low-frequency image stack (learnable targets: a tiny model can
+    memorise these through MAE masking, unlike iid pixel noise)."""
+    u = np.linspace(-1.0, 1.0, hw, dtype=np.float32)
+    gx, gy = np.meshgrid(u, u, indexing="ij")
+    coef = rng.normal(size=(batch, w, c, 3)).astype(np.float32)
+    img = (coef[..., 0, None, None] * gx
+           + coef[..., 1, None, None] * gy
+           + coef[..., 2, None, None] * gx * gy)
+    return img.astype(np.float32)
+
+
 def make_synthetic_batch(cfg: DreamVLAConfig, tcfg: TrainConfig, batch: int,
-                         seed: int = 0, with_labels: bool = True) -> Dict:
-    """One host micro-batch matching the collator's window contract."""
+                         seed: int = 0, with_labels: bool = True,
+                         learnable: bool = False) -> Dict:
+    """One host micro-batch matching the collator's window contract.
+
+    learnable=True swaps iid-noise images/depth for smooth low-frequency
+    fields so an overfit run can actually drive the reconstruction losses
+    to ~0 (used by the learning-dynamics test)."""
     rng = np.random.default_rng(seed)
     # collator contract: frames cover window_size + pred_num - 1 steps;
     # actions additionally cover the chunk tail (+act_step-1)
@@ -19,14 +36,23 @@ def make_synthetic_batch(cfg: DreamVLAConfig, tcfg: TrainConfig, batch: int,
     wa = w + cfg.action_pred_steps - 1
     hw = cfg.image_size
     f32 = np.float32
+    if learnable:
+        images_primary = _smooth_images(rng, batch, w, 3, hw)
+        images_wrist = _smooth_images(rng, batch, w, 3, hw)
+    else:
+        images_primary = rng.normal(size=(batch, w, 3, hw, hw)).astype(f32)
+        images_wrist = rng.normal(size=(batch, w, 3, hw, hw)).astype(f32)
     out = dict(
-        images_primary=rng.normal(size=(batch, w, 3, hw, hw)).astype(f32),
-        images_wrist=rng.normal(size=(batch, w, 3, hw, hw)).astype(f32),
+        images_primary=images_primary,
+        images_wrist=images_wrist,
         states=np.concatenate(
             [rng.normal(size=(batch, w, 6)).astype(f32),
              rng.integers(0, 2, size=(batch, w, 1)).astype(f32)], axis=-1),
         actions=np.concatenate(
-            [rng.normal(size=(batch, wa, 6)).astype(f32),
+            # learnable: arm targets inside the tanh head's range (real
+            # CALVIN rel_actions live in [-1, 1])
+            [(rng.uniform(-0.9, 0.9, size=(batch, wa, 6)) if learnable
+              else rng.normal(size=(batch, wa, 6))).astype(f32),
              rng.integers(0, 2, size=(batch, wa, 1)).astype(f32)], axis=-1),
     )
     if cfg.include_text_encoder:
@@ -35,8 +61,14 @@ def make_synthetic_batch(cfg: DreamVLAConfig, tcfg: TrainConfig, batch: int,
         out["text_features"] = rng.normal(size=(batch, 512)).astype(f32)
     if with_labels:
         if cfg.depth_pred:
-            out["depth_primary"] = np.abs(rng.normal(size=(batch, w, 1, hw, hw))).astype(f32)
-            out["depth_wrist"] = np.abs(rng.normal(size=(batch, w, 1, hw, hw))).astype(f32)
+            if learnable:
+                out["depth_primary"] = np.abs(
+                    _smooth_images(rng, batch, w, 1, hw)) + 0.1
+                out["depth_wrist"] = np.abs(
+                    _smooth_images(rng, batch, w, 1, hw)) + 0.1
+            else:
+                out["depth_primary"] = np.abs(rng.normal(size=(batch, w, 1, hw, hw))).astype(f32)
+                out["depth_wrist"] = np.abs(rng.normal(size=(batch, w, 1, hw, hw))).astype(f32)
         if cfg.dino_feat_pred:
             out["dino_primary"] = rng.normal(size=(batch, w, 256, 768)).astype(f32)
             out["dino_wrist"] = rng.normal(size=(batch, w, 256, 768)).astype(f32)
