@@ -49,7 +49,7 @@ import numpy as np
 FALLBACK_BASELINE = 22.4  # chunks/s; see tools/anchor_baseline.py
 STEPS_PER_DISPATCH = 20
 REPEATS = 5
-SERVE_BATCHES = (16,)  # envs/chip batched serving config (24/32 both worse)
+SERVE_BATCHES = (8, 16)  # envs/chip serving curve (24/32 measured worse)
 
 
 def _baseline():

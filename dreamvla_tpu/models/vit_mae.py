@@ -106,9 +106,30 @@ class MaskedAutoencoderViT(nn.Module):
             ids_restore = jnp.broadcast_to(jnp.arange(x.shape[1]), x.shape[:2])
         cls = (self.cls_token + pos[:, :1, :]).astype(x.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1])), x], axis=1)
-        for blk in self.blocks:
-            x = blk(x)
+        if self._use_fused(x):
+            from dreamvla_tpu.ops.vit_fused import fused_vit_layers
+
+            bp = self.variables["params"]
+            x = fused_vit_layers(
+                x, [bp[f"blocks_{i}"] for i in range(self.depth)],
+                self.num_heads)
+        else:
+            for blk in self.blocks:
+                x = blk(x)
         return self.norm(x), mask, ids_restore
+
+    def _use_fused(self, x) -> bool:
+        """Fused-block kernel gate: inference apply on TPU at lane-aligned
+        shapes (the unmasked frozen-encoder path; init and CPU runs keep
+        the plain block loop). use_pallas=False opts out."""
+        if self.is_initializing() or self.use_pallas is False:
+            return False
+        from dreamvla_tpu.ops.attention import is_tpu_backend
+        from dreamvla_tpu.ops.vit_fused import supports_fused
+
+        return (is_tpu_backend()
+                and supports_fused(x.shape[0], x.shape[1], x.shape[2],
+                                   self.num_heads))
 
     def forward_decoder(self, x, ids_restore):
         x = self.decoder_embed(x)

@@ -1,5 +1,10 @@
 """End-to-end training-loop integration: disk fixture -> loader -> SPMD step
--> metrics -> checkpoints, on the 8-device CPU mesh."""
+-> metrics -> checkpoints, on the 8-device CPU mesh.
+
+Model/state/loader are built once (module fixture) and shared by both tests
+— rebuilding at a second batch shape doubled the CPU compile bill and made
+this the slowest file in the suite.
+"""
 
 import dataclasses
 import json
@@ -14,7 +19,7 @@ from dreamvla_tpu.data.tokenizer import HashTokenizer
 from dreamvla_tpu.models.dreamvla import DreamVLA
 from dreamvla_tpu.parallel.mesh import make_mesh
 from dreamvla_tpu.parallel.train_step import build_train_step, create_train_state
-from dreamvla_tpu.train.loop import device_batch, train_one_epoch
+from dreamvla_tpu.train.loop import train_one_epoch
 from dreamvla_tpu.utils.logging import MetricLogger
 
 
@@ -23,7 +28,7 @@ def calvin_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("calvin_loop") / "training"
     root.mkdir()
     rng = np.random.default_rng(0)
-    for i in range(32):
+    for i in range(24):
         np.savez(
             root / f"episode_{i:07d}.npz",
             rgb_static=rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
@@ -39,18 +44,20 @@ def calvin_root(tmp_path_factory):
     lang_dir = root / "lang_annotations"
     lang_dir.mkdir()
     np.save(lang_dir / "auto_lang_ann.npy",
-            {"info": {"indx": [(0, 31)]},
+            {"info": {"indx": [(0, 23)]},
              "language": {"ann": ["do the thing"], "task": ["thing"]}})
-    np.save(root / "ep_start_end_ids.npy", np.array([[0, 31]]))
+    np.save(root / "ep_start_end_ids.npy", np.array([[0, 23]]))
     return root
 
 
-def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
+@pytest.fixture(scope="module")
+def loop_setup(calvin_root):
     cfg, tcfg = tiny_test()
     cfg = dataclasses.replace(cfg, include_text_encoder=True)
     tcfg = dataclasses.replace(tcfg, batch_size=8, window_size=6)
     model = DreamVLA(cfg)
-    data = get_calvin_dataset(str(calvin_root.parent), batch_size=tcfg.batch_size,
+    data = get_calvin_dataset(str(calvin_root.parent),
+                              batch_size=tcfg.batch_size,
                               window_size=tcfg.window_size,
                               act_step=cfg.action_pred_steps,
                               num_workers=2, image_size=cfg.image_size,
@@ -58,6 +65,11 @@ def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
     sample = next(iter(data.dataloader))
     state, tx, _ = create_train_state(
         model, tcfg, sample, jax.random.PRNGKey(0), total_steps=10)
+    return cfg, tcfg, model, data, sample, state, tx
+
+
+def test_epoch_end_to_end(loop_setup, tmp_path, capsys):
+    cfg, tcfg, model, data, _, state, tx = loop_setup
     mesh = make_mesh(("dp",))
     step = build_train_step(model, tcfg, tx, mesh=mesh, donate=False)
     logger = MetricLogger()
@@ -68,6 +80,7 @@ def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
         profile_dir=str(tmp_path / "prof"), profile_steps=(0, 1))
     assert losses is not None and np.isfinite(float(losses.total))
     assert int(state2.step) == data.dataloader.num_batches
+    assert data.dataloader.num_batches >= 2  # save/profile cadence reachable
     # metrics went to stdout as JSON lines
     lines = [l for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]
@@ -84,25 +97,11 @@ def test_epoch_end_to_end(calvin_root, tmp_path, capsys):
     assert glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
 
 
-def test_panels_build(calvin_root, tmp_path):
-    from dreamvla_tpu.data.tokenizer import HashTokenizer
+def test_panels_build(loop_setup, tmp_path):
     from dreamvla_tpu.train.panels import build_panels
-    from dreamvla_tpu.utils.logging import MetricLogger
 
-    cfg, tcfg = tiny_test()
-    cfg = dataclasses.replace(cfg, include_text_encoder=True)
-    tcfg = dataclasses.replace(tcfg, batch_size=2, window_size=6)
-    model = DreamVLA(cfg)
-    data = get_calvin_dataset(str(calvin_root.parent), batch_size=2,
-                              window_size=6, act_step=cfg.action_pred_steps,
-                              num_workers=1, image_size=cfg.image_size,
-                              tokenizer=HashTokenizer())
-    batch = next(iter(data.dataloader))
-    from dreamvla_tpu.parallel.train_step import create_train_state
-
-    state, _, _ = create_train_state(model, tcfg, batch,
-                                     jax.random.PRNGKey(0), total_steps=5)
-    panels = build_panels(model, state.params, batch, jax.random.PRNGKey(1))
+    cfg, tcfg, model, data, sample, state, tx = loop_setup
+    panels = build_panels(model, state.params, sample, jax.random.PRNGKey(1))
     assert "image/primary_pred_vs_label" in panels
     assert "depth/primary_pred_vs_label" in panels
     img = panels["image/primary_pred_vs_label"]
