@@ -359,8 +359,11 @@ class DreamVLA(nn.Module):
 
             perm = token_permutation(self.transformer_backbone.split)
             inv = np.argsort(perm)
+            # test mode never differentiates the trunk -> eligible for the
+            # whole-block fused kernel (ops.gpt2_fused, forward-only)
             x = self.transformer_backbone(x[:, perm], bias=bias[perm][:, perm],
-                                          deterministic=not train)[:, inv]
+                                          deterministic=not train,
+                                          fused=(mode == "test"))[:, inv]
         else:
             x = self.transformer_backbone(x, bias=bias,
                                           deterministic=not train)

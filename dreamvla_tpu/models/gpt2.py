@@ -101,11 +101,34 @@ class GPT2Trunk(nn.Module):
     split: Optional[BlockSplit] = None
 
     @nn.compact
-    def __call__(self, inputs_embeds, bias=None, deterministic: bool = True):
-        """inputs_embeds: (B, L, D); bias: optional (L, L) additive mask."""
+    def __call__(self, inputs_embeds, bias=None, deterministic: bool = True,
+                 fused: bool = False):
+        """inputs_embeds: (B, L, D); bias: optional (L, L) additive mask.
+
+        fused=True requests the whole-block Pallas kernel
+        (ops.gpt2_fused) — honoured only on deterministic TPU applies of a
+        role-split (token-reordered) trunk; the kernel has no backward, so
+        training paths must never pass it.
+        """
         x = nn.Dropout(self.dropout, deterministic=deterministic, name="drop")(
             inputs_embeds
         )
+        if (fused and deterministic and not self.is_initializing()
+                and bias is not None and self.split is not None):
+            from dreamvla_tpu.ops.attention import is_tpu_backend
+            from dreamvla_tpu.ops.gpt2_fused import (fused_gpt2_layers,
+                                                     supports_fused_trunk)
+
+            sp = self.split
+            n_a, n_q = sp.k * sp.na, sp.k * (sp.na + sp.nobs)
+            if (is_tpu_backend() and supports_fused_trunk(
+                    x.shape[1], x.shape[2], self.num_heads, n_a, n_q)):
+                bp = self.variables["params"]
+                x = fused_gpt2_layers(
+                    x, [bp[f"h_{i}"] for i in range(self.num_layers)],
+                    bias, n_a, n_q, self.num_heads, eps=self.ln_eps)
+                return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                                    name="ln_f")(x)
         block_cls = GPT2Block
         if self.remat:
             block_cls = nn.remat(GPT2Block, static_argnums=(3,))
