@@ -25,13 +25,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dreamvla_tpu.extract.dinov2 import _interp_pos
-from dreamvla_tpu.models.layers import MlpBlock, MultiHeadSelfAttention
+from dreamvla_tpu.models.layers import (MlpBlock, MultiHeadSelfAttention,
+                                        gelu_exact)
 
 
 class TimmViTBlock(nn.Module):
     num_heads: int
     mlp_hidden: int
     layerscale: bool = False
+    act: object = gelu_exact
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
 
@@ -46,7 +48,8 @@ class TimmViTBlock(nn.Module):
                                (d,)).astype(x.dtype)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = MlpBlock(self.mlp_hidden, dtype=self.dtype, name="mlp")(h)
+        h = MlpBlock(self.mlp_hidden, act=self.act, dtype=self.dtype,
+                     name="mlp")(h)
         if self.layerscale:
             h = h * self.param("ls2_gamma", nn.initializers.constant(1e-5),
                                (d,)).astype(x.dtype)
@@ -65,6 +68,7 @@ class TimmViT(nn.Module):
     num_registers: int = 0
     class_token: bool = True
     layerscale: bool = False
+    act: object = gelu_exact
     pos_grid: Optional[int] = None  # pretraining pos-emb grid (if different)
     out_block: Optional[int] = None  # default depth-2 (reference tap point)
     dtype: jnp.dtype = jnp.float32
@@ -107,7 +111,8 @@ class TimmViT(nn.Module):
 
         for i in range(out_block + 1):
             x = TimmViTBlock(self.num_heads, mlp_hidden,
-                             layerscale=self.layerscale, dtype=self.dtype,
+                             layerscale=self.layerscale, act=self.act,
+                             dtype=self.dtype,
                              use_pallas=self.use_pallas, name=f"blocks_{i}")(x)
         return x[:, n_prefix:], x[:, :n_prefix]
 
@@ -120,8 +125,14 @@ def dinov2_vit_l_reg4(**kw) -> TimmViT:
 
 
 def siglip_so400m(**kw) -> TimmViT:
+    # SigLIP towers use tanh-approximated gelu everywhere (original big_vision
+    # JAX impl and the HF SiglipVisionModel port, hidden_act
+    # "gelu_pytorch_tanh"); exact-erf gelu here was a parity bug caught by
+    # the HF-oracle test (tests/test_dinosiglip_oracle.py).
+    from dreamvla_tpu.models.layers import gelu_tanh
+
     base = dict(embed_dim=1152, depth=27, num_heads=16, mlp_hidden=4304,
-                class_token=False, layerscale=False)
+                class_token=False, layerscale=False, act=gelu_tanh)
     base.update(kw)
     return TimmViT(**base)
 

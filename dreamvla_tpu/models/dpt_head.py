@@ -18,9 +18,39 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,
+                                  out_w: int) -> jnp.ndarray:
+    """Bilinear resize with torch `align_corners=True` semantics (corner
+    pixels map to corners; sample grid spacing (in-1)/(out-1)). DA-V2's DPT
+    uses this for every fusion upsample and the final head resize —
+    `jax.image.resize`'s half-pixel convention diverges from it (caught by
+    the HF-oracle test, tests/test_dpt_oracle.py). NHWC."""
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+
+    def axis_weights(size, out_size):
+        if out_size == 1 or size == 1:
+            pos = jnp.zeros((out_size,), jnp.float32)
+        else:
+            pos = jnp.linspace(0.0, size - 1.0, out_size)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, size - 1)
+        hi = jnp.minimum(lo + 1, size - 1)
+        frac = (pos - lo).astype(x.dtype)
+        return lo, hi, frac
+
+    y0, y1, fy = axis_weights(h, out_h)
+    x0, x1, fx = axis_weights(w, out_w)
+    top = x[:, y0]
+    bot = x[:, y1]
+    rows = top + (bot - top) * fy[None, :, None, None]
+    left = rows[:, :, x0]
+    right = rows[:, :, x1]
+    return left + (right - left) * fx[None, None, :, None]
 
 
 class ResidualConvUnit(nn.Module):
@@ -51,7 +81,7 @@ class FeatureFusionBlock(nn.Module):
                              name="resConfUnit2")(x)
         n, h, w, c = x.shape
         out_hw = out_hw or (2 * h, 2 * w)
-        x = jax.image.resize(x, (n, out_hw[0], out_hw[1], c), "bilinear")
+        x = resize_bilinear_align_corners(x, out_hw[0], out_hw[1])
         return nn.Conv(self.features, (1, 1), dtype=self.dtype,
                        name="out_conv")(x)
 
@@ -102,8 +132,7 @@ class DPTHead(nn.Module):
 
         x = nn.Conv(self.features // 2, (3, 3), padding="SAME",
                     dtype=self.dtype, name="output_conv1")(p1)
-        n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, 14 * patch_h, 14 * patch_w, c), "bilinear")
+        x = resize_bilinear_align_corners(x, 14 * patch_h, 14 * patch_w)
         x = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype,
                     name="output_conv2_0")(x)
         x = nn.relu(x)
