@@ -183,3 +183,68 @@ def test_mae_encoder_decoder_match_hf_oracle():
     with jax.default_matmul_precision("highest"):
         got = mae.apply({"params": params}, jnp.asarray(imgs), method=fwd)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=0)
+
+# --------------------------------------------------- DINOv2 extractor ViT
+def test_dinov2_extractor_matches_hf_oracle():
+    """extract/dinov2.py's tower (the offline DINO label pipeline,
+    reference data_process/dino_extractor.py) vs the real Dinov2Model:
+    x_norm_patchtokens + cls at the final layernorm."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    from dreamvla_tpu.extract.dinov2 import DinoV2ViT, import_dinov2
+
+    img, patch, width, heads, depth = 28, 14, 32, 2, 2
+    torch.manual_seed(0)
+    cfg = Dinov2Config(
+        hidden_size=width, num_hidden_layers=depth, num_attention_heads=heads,
+        mlp_ratio=4, image_size=img, patch_size=patch, hidden_act="gelu",
+        layer_norm_eps=1e-6, layerscale_value=1.0,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        drop_path_rate=0.0)
+    hf = Dinov2Model(cfg).eval()
+    sd = hf.state_dict()
+    fb = {
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "mask_token": sd["embeddings.mask_token"],
+        "patch_embed.proj.weight":
+            sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            sd["embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": sd["layernorm.weight"],
+        "norm.bias": sd["layernorm.bias"],
+    }
+    for i in range(depth):
+        hp, fp = f"encoder.layer.{i}", f"blocks.{i}"
+        fb[f"{fp}.attn.qkv.weight"] = torch.cat(
+            [sd[f"{hp}.attention.attention.query.weight"],
+             sd[f"{hp}.attention.attention.key.weight"],
+             sd[f"{hp}.attention.attention.value.weight"]], dim=0)
+        fb[f"{fp}.attn.qkv.bias"] = torch.cat(
+            [sd[f"{hp}.attention.attention.query.bias"],
+             sd[f"{hp}.attention.attention.key.bias"],
+             sd[f"{hp}.attention.attention.value.bias"]])
+        for src, dst in (("attention.output.dense", "attn.proj"),
+                         ("norm1", "norm1"), ("norm2", "norm2"),
+                         ("mlp.fc1", "mlp.fc1"), ("mlp.fc2", "mlp.fc2")):
+            fb[f"{fp}.{dst}.weight"] = sd[f"{hp}.{src}.weight"]
+            fb[f"{fp}.{dst}.bias"] = sd[f"{hp}.{src}.bias"]
+        fb[f"{fp}.ls1.gamma"] = sd[f"{hp}.layer_scale1.lambda1"]
+        fb[f"{fp}.ls2.gamma"] = sd[f"{hp}.layer_scale2.lambda1"]
+    fb = {k: v.numpy() for k, v in fb.items()}
+
+    imgs = np.random.default_rng(2).normal(size=(2, 3, img, img)).astype(
+        np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(imgs)).last_hidden_state.numpy()
+
+    ours = DinoV2ViT(img_size=img, patch_size=patch, embed_dim=width,
+                     depth=depth, num_heads=heads,
+                     pretrain_grid=img // patch, use_pallas=False)
+    params, missing, unexpected = import_dinov2(fb, depth=depth)
+    assert not missing and not unexpected, (missing, unexpected)
+    with jax.default_matmul_precision("highest"):
+        patches, cls = ours.apply({"params": params}, jnp.asarray(imgs))
+    got = np.concatenate([np.asarray(cls)[:, None], np.asarray(patches)],
+                         axis=1)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
