@@ -62,6 +62,10 @@ class DreamVLAConfig:
     # TPU-side: run the trunk in [A | dream-query | action] token order so
     # role-split attention slices contiguously (exact; default on)
     trunk_token_reorder: bool = True
+    # TPU-side: whole-block fused Pallas kernel for test-mode trunk applies
+    # (ops.gpt2_fused; bf16-resolution-equal to the unfused path, float32-
+    # oracle-anchored). Escape hatch for debugging / strict bit-parity runs.
+    fused_trunk_inference: bool = True
     track_label_patch_size: int = 8
     # attention-mask flags
     atten_goal: int = 0

@@ -361,9 +361,10 @@ class DreamVLA(nn.Module):
             inv = np.argsort(perm)
             # test mode never differentiates the trunk -> eligible for the
             # whole-block fused kernel (ops.gpt2_fused, forward-only)
-            x = self.transformer_backbone(x[:, perm], bias=bias[perm][:, perm],
-                                          deterministic=not train,
-                                          fused=(mode == "test"))[:, inv]
+            x = self.transformer_backbone(
+                x[:, perm], bias=bias[perm][:, perm],
+                deterministic=not train,
+                fused=(mode == "test" and cfg.fused_trunk_inference))[:, inv]
         else:
             x = self.transformer_backbone(x, bias=bias,
                                           deterministic=not train)
