@@ -66,6 +66,11 @@ class DreamVLAConfig:
     # (ops.gpt2_fused; bf16-resolution-equal to the unfused path, float32-
     # oracle-anchored). Escape hatch for debugging / strict bit-parity runs.
     fused_trunk_inference: bool = True
+    # TPU-side, opt-in: W8A8 int8 trunk matmuls inside the fused kernel
+    # (2x MXU peak, half the weight traffic). Requires params pre-quantized
+    # with ops.gpt2_fused.quantize_trunk_params; accuracy is a measured
+    # trade (tools/fused_action_parity.py --int8), NOT bit-parity.
+    int8_trunk_inference: bool = False
     track_label_patch_size: int = 8
     # attention-mask flags
     atten_goal: int = 0

@@ -191,6 +191,24 @@ def build_dit(cfg: ActionDiffusionConfig, dtype=jnp.float32, use_pallas=None) ->
     )
 
 
+def densify_zero_init(action_params, key, scale: float = 0.02):
+    """Copy of a DiT param subtree with the zero-init eps head re-randomised.
+
+    At init the DiT's final linear is all-zero (matching the reference's
+    zero-init, models/action_model/models.py), so it predicts exactly 0 for
+    ANY input and sampled actions are independent of the conditioning
+    features. Any test or drift measurement that needs actions to RESPOND
+    to the feature path must densify first, or it passes trivially.
+    """
+    p = dict(action_params)
+    fl = dict(p["final_linear"])
+    k = fl["kernel"]
+    fl["kernel"] = (scale * jax.random.normal(key, k.shape, jnp.float32)
+                    ).astype(k.dtype)
+    p["final_linear"] = fl
+    return p
+
+
 class ActionDiffusionHead:
     """Functional train-loss / sampling around a DiT (no flax state of its
     own; the DiT params live inside the parent model's tree)."""

@@ -123,12 +123,32 @@ class GPT2Trunk(nn.Module):
             n_a, n_q = sp.k * sp.na, sp.k * (sp.na + sp.nobs)
             if (is_tpu_backend() and supports_fused_trunk(
                     x.shape[1], x.shape[2], self.num_heads, n_a, n_q)):
+                from dreamvla_tpu.ops.gpt2_fused import fused_gpt2_layers_int8
+
                 bp = self.variables["params"]
-                x = fused_gpt2_layers(
-                    x, [bp[f"h_{i}"] for i in range(self.num_layers)],
-                    bias, n_a, n_q, self.num_heads, eps=self.ln_eps)
+                blocks = [bp[f"h_{i}"] for i in range(self.num_layers)]
+                # quantize_trunk_params replaces each dense kernel with an
+                # (int8, scale) pair — dispatch on that shape
+                if isinstance(blocks[0]["attn"]["c_attn"]["kernel"],
+                              (tuple, list)):
+                    x = fused_gpt2_layers_int8(x, blocks, bias, n_a, n_q,
+                                               self.num_heads,
+                                               eps=self.ln_eps)
+                else:
+                    x = fused_gpt2_layers(x, blocks, bias, n_a, n_q,
+                                          self.num_heads, eps=self.ln_eps)
                 return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                                     name="ln_f")(x)
+        if not self.is_initializing():
+            bp = self.variables["params"]
+            if "h_0" in bp and isinstance(
+                    bp["h_0"]["attn"]["c_attn"]["kernel"], (tuple, list)):
+                raise RuntimeError(
+                    "trunk params are int8-quantized (quantize_trunk_params) "
+                    "but the fused TPU inference path is not engaged "
+                    f"(fused={fused}, deterministic={deterministic}); int8 "
+                    "params only run on the fused kernel — pass unquantized "
+                    "params for training/CPU/unfused applies")
         block_cls = GPT2Block
         if self.remat:
             block_cls = nn.remat(GPT2Block, static_argnums=(3,))

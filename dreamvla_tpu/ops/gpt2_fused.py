@@ -197,3 +197,172 @@ def supports_fused_trunk(l: int, d: int, num_heads: int, n_a: int,
     return (d % _LANE == 0 and (d // num_heads) % _SUBLANE == 0
             and n_a % _SUBLANE == 0 and 0 < n_q < l
             and _round_up(n_a, _LANE) <= _round_up(l, _SUBLANE))
+
+
+# --------------------------------------------------------------------------
+# int8 (W8A8) variant: same block fusion, dense matmuls on the MXU's int8
+# path (2x bf16 peak on v5e) with half the weight HBM/VMEM traffic.
+# Weights are per-output-channel symmetric int8 (offline, quantize_gpt2_block
+# below); activations are quantized per row on the fly inside the kernel.
+# Attention itself (scores/AV, <10% of block FLOPs) stays in bf16/f32.
+# Opt-in via cfg.int8_trunk_inference; accuracy is bounded empirically by
+# tools/fused_action_parity.py --int8 (end-action drift on the real chip).
+# --------------------------------------------------------------------------
+
+
+def _qdot(x32, w8, wscale):
+    """f32 (L,K) x int8 (K,N) -> f32 (L,N) via dynamic per-row activation
+    quantization; wscale (1,N) f32 is the per-column weight scale."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-30)
+    xq = jnp.clip(jnp.round(x32 * (127.0 / amax)), -127.0, 127.0)
+    acc = jax.lax.dot_general(xq.astype(jnp.int8), w8,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (amax * (1.0 / 127.0)) * wscale
+
+
+def _block_kernel_int8(x_ref, biasa_ref, biasb_ref, ln1s_ref, ln1b_ref,
+                       wqkv_ref, sqkv_ref, bqkv_ref, wproj_ref, sproj_ref,
+                       bproj_ref, ln2s_ref, ln2b_ref, w1_ref, s1_ref, b1_ref,
+                       w2_ref, s2_ref, b2_ref, o_ref, *, num_heads: int,
+                       nq: int, rb0: int, lp: int, eps: float):
+    _, _, d = x_ref.shape
+    hd = d // num_heads
+    na_pad = biasa_ref.shape[-1]
+    x = x_ref[0]                                   # (Lp, D) compute dtype
+    cdt = x.dtype
+    xn = _ln(x.astype(jnp.float32), ln1s_ref[0].astype(jnp.float32),
+             ln1b_ref[0].astype(jnp.float32), eps)
+    qkv = _qdot(xn, wqkv_ref[:], sqkv_ref[0])
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(cdt)  # (Lp, 3D)
+    biasa = biasa_ref[:]
+    biasb = biasb_ref[:, :lp]
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (lp, 1), 0) < nq
+    scale = hd ** -0.5
+    heads = []
+    for hh in range(num_heads):
+        q = qkv[:, hh * hd:(hh + 1) * hd]
+        k = qkv[:, (num_heads + hh) * hd:(num_heads + hh + 1) * hd]
+        v = qkv[:, (2 * num_heads + hh) * hd:(2 * num_heads + hh + 1) * hd]
+        s = jax.lax.dot_general(q, k[:na_pad], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + biasa
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        oa = jax.lax.dot_general(p.astype(cdt), v[:na_pad],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sb = jax.lax.dot_general(q[rb0:], k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sb = sb * scale + biasb
+        mb = jnp.max(sb, axis=-1, keepdims=True)
+        pb = jnp.exp(sb - mb)
+        pb = pb / jnp.sum(pb, axis=-1, keepdims=True)
+        ob = jax.lax.dot_general(pb.astype(cdt), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ob_full = jnp.concatenate(
+            [jnp.zeros((rb0, hd), jnp.float32), ob], axis=0)
+        heads.append(jnp.where(rowsel, oa, ob_full).astype(jnp.float32))
+    o = jnp.concatenate(heads, axis=-1)            # (Lp, D) f32
+    o = _qdot(o, wproj_ref[:], sproj_ref[0])
+    x = x + (o + bproj_ref[0].astype(jnp.float32)).astype(cdt)
+    h = _ln(x.astype(jnp.float32), ln2s_ref[0].astype(jnp.float32),
+            ln2b_ref[0].astype(jnp.float32), eps)
+    h = _qdot(h, w1_ref[:], s1_ref[0])
+    h = _gelu_tanh(h + b1_ref[0].astype(jnp.float32))
+    h = _qdot(h, w2_ref[:], s2_ref[0])
+    h = h + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = x + h.astype(cdt)
+
+
+def quantize_gpt2_block(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-output-channel symmetric int8 quantization of one GPT2Block tree.
+
+    Returns {name: (w_int8 (K,N), scale_f32 (1,N))} for the four dense
+    kernels plus the passthrough LN/bias leaves. Offline/one-time; the
+    result is what fused_gpt2_layers_int8 consumes.
+    """
+
+    def q(w):
+        w = np.asarray(jax.device_get(w), np.float32)
+        s = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-12) / 127.0
+        wq = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+        return jnp.asarray(wq), jnp.asarray(s, jnp.float32)
+
+    return {
+        "ln_1": p["ln_1"], "ln_2": p["ln_2"],
+        "attn": {
+            "c_attn": {"kernel": q(p["attn"]["c_attn"]["kernel"]),
+                       "bias": p["attn"]["c_attn"]["bias"]},
+            "c_proj": {"kernel": q(p["attn"]["c_proj"]["kernel"]),
+                       "bias": p["attn"]["c_proj"]["bias"]},
+        },
+        "mlp_c_fc": {"kernel": q(p["mlp_c_fc"]["kernel"]),
+                     "bias": p["mlp_c_fc"]["bias"]},
+        "mlp_c_proj": {"kernel": q(p["mlp_c_proj"]["kernel"]),
+                       "bias": p["mlp_c_proj"]["bias"]},
+    }
+
+
+def quantize_trunk_params(params: Dict[str, Any],
+                          scope: str = "transformer_backbone"
+                          ) -> Dict[str, Any]:
+    """Host-side, one-time: replace the trunk's dense kernels in a full
+    DreamVLA params tree with (int8, scale) pairs (quantize_gpt2_block).
+    The returned tree is what cfg.int8_trunk_inference applies expect;
+    every other leaf is shared (no copy)."""
+    params = dict(params)
+    trunk = dict(params[scope])
+    for name in list(trunk):
+        if name.startswith("h_"):
+            trunk[name] = quantize_gpt2_block(trunk[name])
+    params[scope] = trunk
+    return params
+
+
+def fused_gpt2_layers_int8(x: jnp.ndarray,
+                           layer_params_q: Sequence[Dict[str, Any]],
+                           bias: jnp.ndarray, n_a: int, n_q: int,
+                           num_heads: int, eps: float = 1e-5,
+                           interpret: bool = False) -> jnp.ndarray:
+    """fused_gpt2_layers with pre-quantized int8 weights (quantize_gpt2_block
+    trees). Same token-reordered contract; see the int8 section note above."""
+    b, l, d = x.shape
+    cdt = x.dtype
+    lp = _round_up(l, _SUBLANE)
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    biasa, biasb, rb0 = build_role_biases(bias, n_a, n_q, lp)
+    grid = (b,)
+
+    row = lambda a: jnp.asarray(a, cdt).reshape(1, -1)  # noqa: E731
+    srow = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)  # noqa: E731
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
+
+    kernel = functools.partial(_block_kernel_int8, num_heads=num_heads,
+                               nq=n_q, rb0=rb0, lp=lp, eps=eps)
+    for p in layer_params_q:
+        wqkv, sqkv = p["attn"]["c_attn"]["kernel"]
+        wproj, sproj = p["attn"]["c_proj"]["kernel"]
+        w1, s1 = p["mlp_c_fc"]["kernel"]
+        w2, s2 = p["mlp_c_proj"]["kernel"]
+        ops = [
+            row(p["ln_1"]["scale"]), row(p["ln_1"]["bias"]),
+            wqkv, srow(sqkv), row(p["attn"]["c_attn"]["bias"]),
+            wproj, srow(sproj), row(p["attn"]["c_proj"]["bias"]),
+            row(p["ln_2"]["scale"]), row(p["ln_2"]["bias"]),
+            w1, srow(s1), row(p["mlp_c_fc"]["bias"]),
+            w2, srow(s2), row(p["mlp_c_proj"]["bias"]),
+        ]
+        xp = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0)),
+                      wspec(biasa.shape), wspec(biasb.shape)]
+            + [wspec(o.shape) for o in ops],
+            out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, lp, d), cdt),
+            interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+        )(xp, biasa, biasb, *ops)
+    return xp[:, :l]

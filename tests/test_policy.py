@@ -194,7 +194,12 @@ def test_feature_cache_parity_with_dit_head():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
         mode="train", train=False, **inputs)
-    params = variables["params"]
+    params = dict(variables["params"])
+    # at init the DiT's eps head is all-zero and actions ignore the feature
+    # path entirely — densify so a feature-cache bug actually shows up here
+    from dreamvla_tpu.models.dit import densify_zero_init
+    params["action_model"] = densify_zero_init(params["action_model"],
+                                               jax.random.PRNGKey(9))
     rng = np.random.default_rng(5)
     obs = [make_calvin_obs(rng, t) for t in range(4)]
     pw_full = PolicyWrapper(model, params, tokenizer=get_tokenizer(),
