@@ -182,6 +182,24 @@ def main():
         except Exception as e:  # pragma: no cover - device-side failures
             note(f"bs{sb} failed: {type(e).__name__}: {e}")
 
+    # int8 (W8A8) trunk serving point — an opt-in quality trade (~0.8% max
+    # action drift, 100% gripper-decision agreement; measured by
+    # tools/fused_action_parity.py --int8), so it is reported alongside but
+    # kept OUT of the headline, which stays numerics-faithful bf16.
+    int8_serve = None
+    int8_sb = max(serve, key=serve.get) if serve else 16
+    try:
+        from dreamvla_tpu.ops.gpt2_fused import quantize_trunk_params
+
+        params_q = quantize_trunk_params(params)
+        runq, warmq = build_run_n(model, params_q, int8_sb, serve_steps)
+        note(f"int8 bs{int8_sb} built")
+        t_q = measure(runq, warmq, params_q, serve_steps)
+        int8_serve = int8_sb / t_q
+        note(f"int8 bs{int8_sb} measured: {int8_serve:.1f} chunks/s")
+    except Exception as e:  # pragma: no cover - device-side failures
+        note(f"int8 bs{int8_sb} failed: {type(e).__name__}: {e}")
+
     best_sb = max(serve, key=serve.get) if serve else None
     headline = max([bs1_chunks] + list(serve.values()))
     baseline = _baseline()
@@ -198,6 +216,9 @@ def main():
     }
     for sb, v in serve.items():
         out[f"batch{sb}_chunks_per_sec"] = round(v, 3)
+    if int8_serve is not None:
+        out[f"int8_batch{int8_sb}_chunks_per_sec"] = round(int8_serve, 3)
+        out["int8_vs_baseline"] = round(int8_serve / baseline, 3)
     print(json.dumps(out))
 
 

@@ -210,15 +210,8 @@ def supports_fused_trunk(l: int, d: int, num_heads: int, n_a: int,
 # --------------------------------------------------------------------------
 
 
-def _qdot(x32, w8, wscale):
-    """f32 (L,K) x int8 (K,N) -> f32 (L,N) via dynamic per-row activation
-    quantization; wscale (1,N) f32 is the per-column weight scale."""
-    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-30)
-    xq = jnp.clip(jnp.round(x32 * (127.0 / amax)), -127.0, 127.0)
-    acc = jax.lax.dot_general(xq.astype(jnp.int8), w8,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (amax * (1.0 / 127.0)) * wscale
+from dreamvla_tpu.ops.quant import qdot as _qdot  # noqa: E402  (in-kernel safe)
+from dreamvla_tpu.ops.quant import quantize_dense as _quantize_dense  # noqa: E402
 
 
 def _block_kernel_int8(x_ref, biasa_ref, biasb_ref, ln1s_ref, ln1b_ref,
@@ -284,12 +277,7 @@ def quantize_gpt2_block(p: Dict[str, Any]) -> Dict[str, Any]:
     result is what fused_gpt2_layers_int8 consumes.
     """
 
-    def q(w):
-        w = np.asarray(jax.device_get(w), np.float32)
-        s = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-12) / 127.0
-        wq = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
-        return jnp.asarray(wq), jnp.asarray(s, jnp.float32)
-
+    q = _quantize_dense
     return {
         "ln_1": p["ln_1"], "ln_2": p["ln_2"],
         "attn": {

@@ -156,7 +156,7 @@ def test_remat_trunk_grads(tiny_inputs):
                           **tiny_inputs)
         return jnp.sum(out.arm_action ** 2)
 
-    g = jax.grad(loss)(variables["params"])
+    g = jax.jit(jax.grad(loss))(variables["params"])
     gmax = max(jax.tree.leaves(jax.tree.map(
         lambda x: float(jnp.abs(x).max()), g["transformer_backbone"])))
     assert np.isfinite(gmax) and gmax > 0

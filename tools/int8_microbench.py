@@ -2,8 +2,13 @@
 
 Establishes whether the MXU's 2x int8 peak is reachable from JAX on this
 chip before committing to a quantized trunk path. Shapes are the flagship
-trunk's three dense matmuls at bs16 (B*L rows = 16*930 -> padded 14880):
-fused-QKV (1024->3072), proj (1024->1024), MLP fc1/fc2 (1024<->4096).
+trunk's dense matmuls at bs16 (B*L rows = 16*930 -> 14880).
+
+Methodology: the tunnel's block_until_ready does not actually block, so
+single-dispatch timings here measure RTT, not device time. Each
+measurement chains ITERS dependent matmuls inside ONE jitted lax.scan
+(the carry feeds the next dot) and reads back a value that depends on
+every step — same trick as bench.py.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/int8_microbench.py
 """
@@ -18,20 +23,40 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-
-def bench(fn, *args, iters=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+ITERS = 50
+REPEATS = 5
 
 
-def xla_dot(x, w, acc):
-    return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
-                               preferred_element_type=acc)
+def _chain(dot_fn, x0, w, iters, feedback):
+    """Run iters dependent dots in one scan; feedback(out, x) -> next x."""
+
+    @jax.jit
+    def run(x0, w):
+        def body(x, _):
+            out = dot_fn(x, w)
+            return feedback(out, x), jnp.float32(out[0, 0])
+
+        _, probes = jax.lax.scan(body, x0, None, length=iters)
+        return probes.sum()
+
+    return run
+
+
+def _time(run, x0, w):
+    float(run(x0, w))  # compile + warm
+    ts = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(run(x0, w))
+        ts.append((time.perf_counter() - t0) / ITERS)
+    return float(np.median(ts)) * 1e3  # ms per dot
+
+
+def xla_dot(acc):
+    def f(x, w):
+        return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=acc)
+    return f
 
 
 def _mm_kernel(x_ref, w_ref, o_ref, *, acc):
@@ -40,24 +65,40 @@ def _mm_kernel(x_ref, w_ref, o_ref, *, acc):
         preferred_element_type=acc)
 
 
-def pallas_dot(x, w, acc, bm=512):
-    m, k = x.shape
-    _, n = w.shape
-    grid = (m // bm,)
-    return pl.pallas_call(
-        functools.partial(_mm_kernel, acc=acc),
-        grid=grid,
-        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0)),
-                  pl.BlockSpec((k, n), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((m, n), acc),
-    )(x, w)
+def pallas_dot(acc, bm=256):
+    from dreamvla_tpu.ops.attention import _COMPILER_PARAMS
+
+    def f(x, w):
+        m, k = x.shape
+        _, n = w.shape
+        return pl.pallas_call(
+            functools.partial(_mm_kernel, acc=acc),
+            grid=(m // bm,),
+            in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0)),
+                      pl.BlockSpec((k, n), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, n), acc),
+            compiler_params=_COMPILER_PARAMS,
+        )(x, w)
+
+    return f
+
+
+def fb_bf16(out, x):
+    k = x.shape[1]
+    return (x + out[:, :k].astype(x.dtype) * jnp.asarray(1e-6, x.dtype))
+
+
+def fb_int8(out, x):
+    k = x.shape[1]
+    # keep int8 values bounded while depending on out
+    return (x ^ (out[:, :k] & 1).astype(jnp.int8))
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
-    M = 16 * 930 // 8 * 8  # 14880
+    M = 14880
     shapes = [(M, 1024, 3072), (M, 1024, 1024), (M, 1024, 4096),
               (M, 4096, 1024)]
     for m, k, n in shapes:
@@ -66,38 +107,26 @@ def main():
         x16, w16 = jnp.asarray(xf, jnp.bfloat16), jnp.asarray(wf, jnp.bfloat16)
         x8 = jnp.asarray(np.clip(xf * 30, -127, 127).astype(np.int8))
         w8 = jnp.asarray(np.clip(wf * 30, -127, 127).astype(np.int8))
-        flops = 2 * m * k * n
+        tflop = 2 * m * k * n / 1e12
         rows = {}
-        for tag, fn, a, b, acc in [
-            ("xla bf16", jax.jit(lambda x, w: xla_dot(x, w, jnp.float32)),
-             x16, w16, None),
-            ("xla int8", jax.jit(lambda x, w: xla_dot(x, w, jnp.int32)),
-             x8, w8, None),
+        for tag, fn, a, b, fb in [
+            ("xla bf16", xla_dot(jnp.float32), x16, w16, fb_bf16),
+            ("xla int8", xla_dot(jnp.int32), x8, w8, fb_int8),
+            ("pallas bf16", pallas_dot(jnp.float32), x16, w16, fb_bf16),
+            ("pallas int8", pallas_dot(jnp.int32), x8, w8, fb_int8),
         ]:
             try:
-                ms = bench(fn, a, b)
+                ms = _time(_chain(fn, a, b, ITERS, fb), a, b)
                 rows[tag] = ms
                 print(f"  ({m},{k})x({k},{n}) {tag}: {ms:7.3f} ms "
-                      f"{flops / ms / 1e9:8.1f} GFLOP/s", flush=True)
+                      f"{tflop / (ms / 1e3):7.1f} TFLOP/s", flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"  ({m},{k})x({k},{n}) {tag}: FAIL "
-                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
-        for tag, a, b, acc in [
-            ("pallas bf16", x16, w16, jnp.float32),
-            ("pallas int8", x8, w8, jnp.int32),
-        ]:
-            try:
-                fn = jax.jit(functools.partial(pallas_dot, acc=acc))
-                ms = bench(fn, a, b)
-                rows[tag] = ms
-                print(f"  ({m},{k})x({k},{n}) {tag}: {ms:7.3f} ms "
-                      f"{flops / ms / 1e9:8.1f} GFLOP/s", flush=True)
-            except Exception as e:  # noqa: BLE001
-                print(f"  ({m},{k})x({k},{n}) {tag}: FAIL "
-                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
-        if "xla bf16" in rows and "xla int8" in rows:
-            print(f"  -> int8/bf16 speedup (xla): "
-                  f"{rows['xla bf16'] / rows['xla int8']:.2f}x", flush=True)
+                      f"{type(e).__name__}: {str(e)[:100]}", flush=True)
+        for pair in (("xla bf16", "xla int8"), ("pallas bf16", "pallas int8")):
+            if pair[0] in rows and pair[1] in rows:
+                print(f"  -> {pair[1]}/{pair[0]} speedup: "
+                      f"{rows[pair[0]] / rows[pair[1]]:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
