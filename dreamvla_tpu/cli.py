@@ -184,6 +184,14 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
                    help="quantize trunk weights to int8 (W8A8 fused kernel; "
                         "2x MXU peak, ~0.8%% action drift measured by "
                         "tools/fused_action_parity.py --int8)")
+    p.add_argument("--int8_dit_inference", action="store_const", const=True,
+                   default=None,
+                   help="quantize DiT action-head weights to int8 (halves "
+                        "the DDIM loop's weight reads; biggest at bs-1)")
+    p.add_argument("--int8_encoder_inference", action="store_const",
+                   const=True, default=None,
+                   help="quantize the frozen MAE encoder's block weights "
+                        "to int8 (int8 fused encoder kernel)")
 
 
 def _configs_from_args(args):
@@ -404,6 +412,18 @@ def _restore_policy(args):
         params = quantize_trunk_params(params)
         print("trunk dense weights quantized to int8 "
               "(cfg.int8_trunk_inference)")
+    if mcfg.int8_dit_inference and mcfg.use_dit_head:
+        from dreamvla_tpu.models.dit import quantize_dit_params
+
+        params["action_model"] = quantize_dit_params(params["action_model"])
+        print("DiT action-head weights quantized to int8 "
+              "(cfg.int8_dit_inference)")
+    if mcfg.int8_encoder_inference and not mcfg.use_dinosiglip:
+        from dreamvla_tpu.ops.vit_fused import quantize_encoder_params
+
+        params = quantize_encoder_params(params)
+        print("MAE encoder block weights quantized to int8 "
+              "(cfg.int8_encoder_inference)")
     return model, params, mcfg
 
 

@@ -71,6 +71,13 @@ class DreamVLAConfig:
     # with ops.gpt2_fused.quantize_trunk_params; accuracy is a measured
     # trade (tools/fused_action_parity.py --int8), NOT bit-parity.
     int8_trunk_inference: bool = False
+    # Same trade for the DiT action head's dense matmuls (plain-XLA qdot;
+    # models/dit.quantize_dit_params). The big win is at small batch, where
+    # the DDIM loop is DiT-weight-read bound.
+    int8_dit_inference: bool = False
+    # Same trade for the frozen MAE encoder's block matmuls
+    # (ops.vit_fused.quantize_encoder_params + int8 fused kernel).
+    int8_encoder_inference: bool = False
     track_label_patch_size: int = 8
     # attention-mask flags
     atten_goal: int = 0

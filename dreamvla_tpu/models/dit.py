@@ -191,6 +191,97 @@ def build_dit(cfg: ActionDiffusionConfig, dtype=jnp.float32, use_pallas=None) ->
     )
 
 
+def quantize_dit_params(action_params):
+    """Host-side, one-time: per-output-channel int8 quantization of the DiT
+    param subtree's large dense kernels (block qkv/proj/fc1/fc2 and the
+    z_embedder). The small embedders, the zero-init final linear and the
+    non-matmul leaves stay as-is. Consumed by the quantized sampling path
+    in ActionDiffusionHead.sample (ops.quant.qdot); the win at small batch
+    is halved weight HBM traffic across the DDIM steps."""
+    from dreamvla_tpu.ops.quant import quantize_dense
+
+    p = {k: v for k, v in action_params.items()}
+    p["z_embedder"] = {"kernel": quantize_dense(p["z_embedder"]["kernel"]),
+                       "bias": p["z_embedder"]["bias"]}
+    for name in list(p):
+        if not name.startswith("blocks_"):
+            continue
+        b = p[name]
+        p[name] = {
+            "attn": {
+                "qkv": {"kernel": quantize_dense(b["attn"]["qkv"]["kernel"]),
+                        "bias": b["attn"]["qkv"]["bias"]},
+                "proj": {"kernel": quantize_dense(b["attn"]["proj"]["kernel"]),
+                         "bias": b["attn"]["proj"]["bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": quantize_dense(b["mlp"]["fc1"]["kernel"]),
+                        "bias": b["mlp"]["fc1"]["bias"]},
+                "fc2": {"kernel": quantize_dense(b["mlp"]["fc2"]["kernel"]),
+                        "bias": b["mlp"]["fc2"]["bias"]},
+            },
+        }
+    return p
+
+
+def _qdense(p, x):
+    """Dense apply that accepts either a plain kernel or quantize_dense's
+    (int8, scale) pair; x is f32."""
+    from dreamvla_tpu.ops.quant import is_quantized, qdot
+
+    k = p["kernel"]
+    y = qdot(x, k[0], k[1]) if is_quantized(k) else x @ k.astype(x.dtype)
+    return y + p["bias"] if "bias" in p else y
+
+
+def _ln_np(x, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+def dit_forward_quant(dit: DiT, p, x, t, z):
+    """Pure-function mirror of DiT.__call__ (inference, f32) that runs
+    quantize_dit_params trees: block dense matmuls via ops.quant.qdot, the
+    rest in f32. Kept in lockstep with __call__; parity is pinned by
+    tests/test_dit_int8.py."""
+    x = _qdense(p["x_embedder"], x.astype(jnp.float32))
+    te = timestep_frequency_embedding(t, 256)
+    te = _qdense(p["t_embedder"]["mlp_0"], te)
+    te = _qdense(p["t_embedder"]["mlp_2"], nn.silu(te))
+    c = te[:, None, :] + _qdense(p["z_embedder"], z.astype(jnp.float32))
+    h = jnp.concatenate([c, x], axis=1) + p["positional_embedding"]
+    hd = dit.hidden_size // dit.num_heads
+    for i in range(dit.depth):
+        bp = p[f"blocks_{i}"]
+        n1 = _ln_np(h)
+        qkv = _qdense(bp["attn"]["qkv"], n1)
+        b_, l_, _ = qkv.shape
+        qkv = qkv.reshape(b_, l_, 3, dit.num_heads, hd)
+        q, k, v = (jnp.moveaxis(qkv[:, :, j], 1, 2) for j in range(3))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd ** -0.5
+        o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+        o = jnp.moveaxis(o, 1, 2).reshape(b_, l_, dit.hidden_size)
+        h = h + _qdense(bp["attn"]["proj"], o)
+        n2 = _ln_np(h)
+        m = gelu_tanh(_qdense(bp["mlp"]["fc1"], n2))
+        h = h + _qdense(bp["mlp"]["fc2"], m)
+    h = _qdense(p["final_linear"], _ln_np(h))
+    return h[:, c.shape[1]:, :]
+
+
+def dit_forward_quant_cfg(dit: DiT, p, x, t, z, cfg_scale):
+    """forward_with_cfg over dit_forward_quant (same batched-CFG math)."""
+    half = x[: x.shape[0] // 2]
+    combined = jnp.concatenate([half, half], axis=0)
+    out = dit_forward_quant(dit, p, combined, t, z)
+    eps, rest = out[..., : dit.in_channels], out[..., dit.in_channels:]
+    cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+    half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+    eps = jnp.concatenate([half_eps, half_eps], axis=0)
+    return jnp.concatenate([eps, rest], axis=-1)
+
+
 def densify_zero_init(action_params, key, scale: float = 0.02):
     """Copy of a DiT param subtree with the zero-init eps head re-randomised.
 
@@ -273,10 +364,20 @@ class ActionDiffusionHead:
                 rows = jnp.concatenate([rows, noise_n + rows])
             return x[rows]
 
+        from dreamvla_tpu.ops.quant import is_quantized
+
+        quant = is_quantized(params["blocks_0"]["attn"]["qkv"]["kernel"]) \
+            if "blocks_0" in params else False
+
         def apply(x, t):
+            if quant:
+                return dit_forward_quant(self.dit, params, x, t, z)
             return self.dit.apply({"params": params}, x, t, z)
 
         def apply_cfg(x, t, z_full, scale):
+            if quant:
+                return dit_forward_quant_cfg(self.dit, params, x, t, z_full,
+                                             scale)
             return self.dit.apply(
                 {"params": params}, x, t, z_full, scale,
                 method=DiT.forward_with_cfg,

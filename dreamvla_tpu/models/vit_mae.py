@@ -107,13 +107,26 @@ class MaskedAutoencoderViT(nn.Module):
         cls = (self.cls_token + pos[:, :1, :]).astype(x.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1])), x], axis=1)
         if self._use_fused(x):
-            from dreamvla_tpu.ops.vit_fused import fused_vit_layers
+            from dreamvla_tpu.ops.vit_fused import (fused_vit_layers,
+                                                    fused_vit_layers_int8)
 
             bp = self.variables["params"]
-            x = fused_vit_layers(
-                x, [bp[f"blocks_{i}"] for i in range(self.depth)],
-                self.num_heads)
+            blocks = [bp[f"blocks_{i}"] for i in range(self.depth)]
+            # quantize_encoder_params replaces dense kernels with
+            # (int8, scale) pairs — dispatch on that shape
+            if isinstance(blocks[0]["attn"]["qkv"]["kernel"], (tuple, list)):
+                x = fused_vit_layers_int8(x, blocks, self.num_heads)
+            else:
+                x = fused_vit_layers(x, blocks, self.num_heads)
         else:
+            if not self.is_initializing():
+                bp = self.variables["params"]
+                if isinstance(bp["blocks_0"]["attn"]["qkv"]["kernel"],
+                              (tuple, list)):
+                    raise RuntimeError(
+                        "encoder params are int8-quantized but the fused "
+                        "TPU path is not engaged; int8 params only run on "
+                        "the fused kernel")
             for blk in self.blocks:
                 x = blk(x)
         return self.norm(x), mask, ids_restore

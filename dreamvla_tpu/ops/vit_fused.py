@@ -173,3 +173,141 @@ def fused_vit_layers(x: jnp.ndarray, layer_params: Sequence[Dict[str, Any]],
 def supports_fused(n: int, l: int, d: int, num_heads: int) -> bool:
     """Shape gate: lane-aligned model dim, head dim multiple of 8."""
     return d % 128 == 0 and (d // num_heads) % _SUBLANE == 0 and n >= 1
+
+
+# --------------------------------------------------------------------------
+# int8 (W8A8) variant — same scheme as ops/gpt2_fused: per-output-channel
+# int8 weights (offline), dynamic per-row activation quant in-kernel
+# (ops.quant.qdot), attention left in bf16/f32. Opt-in
+# (cfg.int8_encoder_inference); end-action drift is part of
+# tools/fused_action_parity.py --int8.
+# --------------------------------------------------------------------------
+
+from dreamvla_tpu.ops.quant import qdot as _qdot  # noqa: E402
+from dreamvla_tpu.ops.quant import quantize_dense as _quantize_dense  # noqa: E402
+
+
+def _block_kernel_int8(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref,
+                       bqkv_ref, wproj_ref, sproj_ref, bproj_ref, ln2s_ref,
+                       ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                       b2_ref, o_ref, *, num_heads: int, l_real: int,
+                       eps: float):
+    _, lp, d = x_ref.shape
+    hd = d // num_heads
+    x = x_ref[0]
+    cdt = x.dtype
+    xn = _ln(x.astype(jnp.float32), ln1s_ref[0].astype(jnp.float32),
+             ln1b_ref[0].astype(jnp.float32), eps)
+    qkv = _qdot(xn, wqkv_ref[:], sqkv_ref[0])
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(cdt)
+    if l_real < lp:
+        keymask = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1) >= l_real
+        keybias = jnp.where(keymask, -1.0e9, 0.0)
+    else:
+        keybias = None
+    heads = []
+    for hh in range(num_heads):
+        q = qkv[:, hh * hd:(hh + 1) * hd]
+        k = qkv[:, (num_heads + hh) * hd:(num_heads + hh + 1) * hd]
+        v = qkv[:, (2 * num_heads + hh) * hd:(2 * num_heads + hh + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (hd ** -0.5)
+        if keybias is not None:
+            s = s + keybias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        heads.append(jax.lax.dot_general(
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.float32))
+    o = jnp.concatenate(heads, axis=-1)
+    o = _qdot(o, wproj_ref[:], sproj_ref[0])
+    x = x + (o + bproj_ref[0].astype(jnp.float32)).astype(cdt)
+    h = _ln(x.astype(jnp.float32), ln2s_ref[0].astype(jnp.float32),
+            ln2b_ref[0].astype(jnp.float32), eps)
+    h = _qdot(h, w1_ref[:], s1_ref[0])
+    h = _gelu_exact(h + b1_ref[0].astype(jnp.float32))
+    h = _qdot(h, w2_ref[:], s2_ref[0])
+    h = h + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = x + h.astype(cdt)
+
+
+def quantize_vit_block(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-output-channel int8 quantization of one ViTBlock tree (the four
+    dense kernels become (int8, scale) pairs; LN/bias leaves pass through)."""
+    q = _quantize_dense
+    return {
+        "norm1": p["norm1"], "norm2": p["norm2"],
+        "attn": {
+            "qkv": {"kernel": q(p["attn"]["qkv"]["kernel"]),
+                    "bias": p["attn"]["qkv"]["bias"]},
+            "proj": {"kernel": q(p["attn"]["proj"]["kernel"]),
+                     "bias": p["attn"]["proj"]["bias"]},
+        },
+        "mlp": {
+            "fc1": {"kernel": q(p["mlp"]["fc1"]["kernel"]),
+                    "bias": p["mlp"]["fc1"]["bias"]},
+            "fc2": {"kernel": q(p["mlp"]["fc2"]["kernel"]),
+                    "bias": p["mlp"]["fc2"]["bias"]},
+        },
+    }
+
+
+def quantize_encoder_params(params: Dict[str, Any],
+                            scope: str = "vision_encoder") -> Dict[str, Any]:
+    """Host-side, one-time: replace the MAE encoder's block dense kernels in
+    a full DreamVLA params tree with (int8, scale) pairs. Decoder/patch-proj
+    leaves pass through (the policy path never runs the decoder)."""
+    params = dict(params)
+    enc = dict(params[scope])
+    for name in list(enc):
+        if name.startswith("blocks_"):
+            enc[name] = quantize_vit_block(enc[name])
+    params[scope] = enc
+    return params
+
+
+def fused_vit_layers_int8(x: jnp.ndarray,
+                          layer_params_q: Sequence[Dict[str, Any]],
+                          num_heads: int, eps: float = 1e-6,
+                          interpret: bool = False) -> jnp.ndarray:
+    """fused_vit_layers over quantize_vit_block trees (int8 dense matmuls)."""
+    n, l, d = x.shape
+    cdt = x.dtype
+    sg = jax.lax.stop_gradient
+    x = sg(x)
+    lp = _round_up(l, _SUBLANE)
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    grid = (n,)
+
+    row = lambda a: sg(jnp.asarray(a, cdt)).reshape(1, -1)  # noqa: E731
+    srow = lambda a: sg(jnp.asarray(a, jnp.float32)).reshape(1, -1)  # noqa: E731
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
+
+    kernel = functools.partial(_block_kernel_int8, num_heads=num_heads,
+                               l_real=l, eps=eps)
+    for p in layer_params_q:
+        wqkv, sqkv = p["attn"]["qkv"]["kernel"]
+        wproj, sproj = p["attn"]["proj"]["kernel"]
+        w1, s1 = p["mlp"]["fc1"]["kernel"]
+        w2, s2 = p["mlp"]["fc2"]["kernel"]
+        ops = [
+            row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
+            sg(wqkv), srow(sqkv), row(p["attn"]["qkv"]["bias"]),
+            sg(wproj), srow(sproj), row(p["attn"]["proj"]["bias"]),
+            row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
+            sg(w1), srow(s1), row(p["mlp"]["fc1"]["bias"]),
+            sg(w2), srow(s2), row(p["mlp"]["fc2"]["bias"]),
+        ]
+        xp = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0))]
+            + [wspec(o.shape) for o in ops],
+            out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, lp, d), cdt),
+            interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+        )(xp, *ops)
+    return xp[:, :l]

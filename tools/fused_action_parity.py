@@ -5,8 +5,11 @@ inputs and sampling rng, and reports the max/mean |action| difference:
 
   default:  fused trunk kernel vs unfused XLA trunk
             (cfg.fused_trunk_inference escape hatch), both bf16;
-  --int8:   int8 (W8A8) fused trunk (quantize_trunk_params) vs the bf16
-            fused trunk — the accuracy cost of the quantized serving path.
+  --int8:   the int8 (W8A8) serving mode — quantized trunk, MAE encoder
+            blocks and DiT head (quantize_trunk_params /
+            quantize_encoder_params / quantize_dit_params) — vs the bf16
+            fused path: the accuracy cost of the full quantized serving
+            configuration.
 
 The kernels are float32-oracle-anchored individually
 (tests/test_gpt2_fused.py, tests/test_gpt2_fused_int8.py); this tool
@@ -92,7 +95,13 @@ def main():
 
     sa, a = run("bf16-fused", cfg, params)
     if args.int8:
-        sb, bv = run("int8-fused", cfg, quantize_trunk_params(params))
+        from dreamvla_tpu.models.dit import quantize_dit_params
+        from dreamvla_tpu.ops.vit_fused import quantize_encoder_params
+
+        params_q = quantize_encoder_params(quantize_trunk_params(params))
+        params_q["action_model"] = quantize_dit_params(
+            params_q["action_model"])
+        sb, bv = run("int8-fused", cfg, params_q)
     else:
         sb, bv = run(
             "bf16-unfused",
