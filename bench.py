@@ -190,7 +190,11 @@ def main():
     # bf16. Two points: best serving batch (MXU int8 peak) and bs-1 (the
     # reference's own eval config, weight-read bound -> halved traffic).
     int8_serve = int8_bs1 = None
-    int8_sb = max(serve, key=serve.get) if serve else 16
+    # int8 scales past bf16's best batch (measured curve, chunks/s:
+    # bs16 250.5 / bs24 259.0 / bs32 267.5 / bs48 271.3 / bs64 278.0) —
+    # bs32 is the knee: 97% of the bs64 rate at half the per-env latency
+    # (120 ms vs 230 ms per policy step).
+    int8_sb = 32
     try:
         from dreamvla_tpu.models.dit import quantize_dit_params
         from dreamvla_tpu.ops.gpt2_fused import quantize_trunk_params

@@ -1,0 +1,147 @@
+"""Break the flagship train step's wall time into fwd / bwd / optimizer.
+
+Times three compiled programs at the CALVIN-finetune shapes on the real
+chip (reference step they decompose: utils/train_utils.py:158-608 —
+forward + 7-loss sum, backward, clip + AdamW step):
+
+  fwd       loss forward only (losses.total);
+  fwd+bwd   value_and_grad of the same loss (adds the backward);
+  step      the full train step (adds grad-clip + AdamW + param update).
+
+Differences between consecutive rows isolate the backward and the
+optimizer. Methodology matches bench.py: the tunnel's per-dispatch RTT
+would swamp the numbers, so each timed dispatch runs N steps inside one
+on-device lax.scan with perturbed inputs and a readback that depends on
+every step (fwd/bwd accumulate loss + global grad norm; step carries the
+updated TrainState through the scan).
+
+Each row runs in its OWN process (--only) by default: holding three
+compiled executables plus their buffers in one process OOMs the 16 GB
+chip at bs8 (observed RESOURCE_EXHAUSTED compiling fwd+bwd after fwd).
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/train_breakdown.py \
+       [--batch 8] [--steps 5] [--repeats 5] [--remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--remat", action="store_true",
+                    help="wrap trunk blocks in jax.checkpoint")
+    ap.add_argument("--only", choices=["fwd", "fwdbwd", "step"],
+                    help="measure one program (default: all three, each in "
+                         "a fresh subprocess to avoid cross-program OOM)")
+    args = ap.parse_args()
+
+    if args.only is None:
+        for tag in ("fwd", "fwdbwd", "step"):
+            cmd = [sys.executable, __file__, "--only", tag,
+                   "--batch", str(args.batch), "--steps", str(args.steps),
+                   "--repeats", str(args.repeats)]
+            if args.remat:
+                cmd.append("--remat")
+            subprocess.run(cmd, check=True)
+        return
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dreamvla_tpu.config import calvin_finetune
+    from dreamvla_tpu.models.dreamvla import DreamVLA
+    from dreamvla_tpu.parallel.train_step import (build_train_step,
+                                                  create_train_state,
+                                                  make_loss_fn)
+    from dreamvla_tpu.utils.testing import add_accum_axis, make_synthetic_batch
+
+    assert jax.default_backend() == "tpu", (
+        f"backend is {jax.default_backend()!r}; run this on the chip")
+
+    bs, n = args.batch, args.steps
+    cfg, tcfg = calvin_finetune()
+    if args.remat:
+        cfg = dataclasses.replace(cfg, remat=True)
+    tcfg = dataclasses.replace(tcfg, batch_size=bs)
+    model = DreamVLA(cfg)
+    batch = make_synthetic_batch(cfg, tcfg, batch=bs)
+    state, tx, _ = create_train_state(model, tcfg, batch,
+                                      jax.random.PRNGKey(0), total_steps=100)
+    batch = jax.tree.map(jnp.asarray, batch)
+    loss_fn = make_loss_fn(model, tcfg)
+
+    def perturb(b, i):
+        # bf16-safe perturbation (see PROGRESS notes: adding f32 epsilons
+        # silently promotes the whole residual stream)
+        return dict(b, images_primary=b["images_primary"]
+                    + (i.astype(jnp.float32) * 1e-4))
+
+    @jax.jit
+    def run_fwd(params, batch, rng):
+        def body(acc, i):
+            loss, _ = loss_fn(params, perturb(batch, i),
+                              jax.random.fold_in(rng, i))
+            return acc + loss, None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+        return acc
+
+    @jax.jit
+    def run_fwd_bwd(params, batch, rng):
+        def body(acc, i):
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, perturb(batch, i), jax.random.fold_in(rng, i))
+            return acc + loss + optax.global_norm(grads), None
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+        return acc
+
+    step = build_train_step(model, tcfg, tx, mesh=None, donate=False)
+
+    @jax.jit
+    def run_step(state, batch, rng):
+        def body(st, i):
+            st, losses = step(st, add_accum_axis(perturb(batch, i), 1),
+                              jax.random.fold_in(rng, i))
+            return st, losses.total
+        st, tot = jax.lax.scan(body, state, jnp.arange(n))
+        return st.step * 0 + jnp.sum(tot)
+
+    def measure(tag, fn, *a):
+        t0 = time.time()
+        float(fn(*a))  # compile + warm
+        print(f"{tag}: built (+{time.time() - t0:.0f}s)", flush=True)
+        ts = []
+        for r in range(args.repeats):
+            t0 = time.perf_counter()
+            float(fn(*a))
+            ts.append((time.perf_counter() - t0) / n)
+        ms = float(np.median(ts)) * 1e3
+        print(f"{tag}: {ms:.1f} ms/step  ({bs / (ms / 1e3):.2f} samples/s)",
+              flush=True)
+        return ms
+
+    rng = jax.random.PRNGKey(7)
+    tag = {"fwd": "fwd       ", "fwdbwd": "fwd+bwd   ",
+           "step": "full step "}[args.only]
+    if args.only == "fwd":
+        measure(tag, run_fwd, state.params, batch, rng)
+    elif args.only == "fwdbwd":
+        measure(tag, run_fwd_bwd, state.params, batch, rng)
+    else:
+        measure(tag, run_step, state, batch, rng)
+
+
+if __name__ == "__main__":
+    main()
