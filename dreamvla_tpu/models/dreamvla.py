@@ -277,12 +277,13 @@ class DreamVLA(nn.Module):
         action_label: Optional[jnp.ndarray] = None,
         mode: str = "train",
         train: bool = False,
+        trunk_pipeline=None,
     ) -> DreamVLAOutputs:
         img_tokens, cls_tokens = self.encode_views(image_primary, image_wrist)
         return self.forward_from_tokens(
             img_tokens, cls_tokens, state, text_tokens=text_tokens,
             text_features=text_features, action_label=action_label,
-            mode=mode, train=train)
+            mode=mode, train=train, trunk_pipeline=trunk_pipeline)
 
     def forward_from_tokens(
         self,
@@ -294,6 +295,7 @@ class DreamVLA(nn.Module):
         action_label: Optional[jnp.ndarray] = None,
         mode: str = "train",
         train: bool = False,
+        trunk_pipeline=None,
     ) -> DreamVLAOutputs:
         """Trunk + heads over precomputed per-frame vision tokens.
 
@@ -364,10 +366,12 @@ class DreamVLA(nn.Module):
             x = self.transformer_backbone(
                 x[:, perm], bias=bias[perm][:, perm],
                 deterministic=not train,
-                fused=(mode == "test" and cfg.fused_trunk_inference))[:, inv]
+                fused=(mode == "test" and cfg.fused_trunk_inference),
+                pipeline=trunk_pipeline)[:, inv]
         else:
             x = self.transformer_backbone(x, bias=bias,
-                                          deterministic=not train)
+                                          deterministic=not train,
+                                          pipeline=trunk_pipeline)
         x = x.reshape(b, s, cfg.tokens_per_step, h)
 
         out = DreamVLAOutputs()

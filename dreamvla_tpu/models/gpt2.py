@@ -102,17 +102,29 @@ class GPT2Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, bias=None, deterministic: bool = True,
-                 fused: bool = False):
+                 fused: bool = False, pipeline=None):
         """inputs_embeds: (B, L, D); bias: optional (L, L) additive mask.
 
         fused=True requests the whole-block Pallas kernel
         (ops.gpt2_fused) — honoured only on deterministic TPU applies of a
         role-split (token-reordered) trunk; the kernel has no backward, so
         training paths must never pass it.
+
+        pipeline, when set, replaces the sequential block loop with a
+        pipeline-parallel apply (parallel.pp.build_trunk_pipeline): params
+        must carry the stage-stacked 'pp_stages' subtree
+        (parallel.pp.stack_trunk_stages) instead of per-layer h_i keys.
         """
         x = nn.Dropout(self.dropout, deterministic=deterministic, name="drop")(
             inputs_embeds
         )
+        if pipeline is not None and not self.is_initializing():
+            rng = (self.make_rng("dropout")
+                   if (not deterministic and self.dropout > 0.0) else None)
+            x = pipeline(self.variables["params"]["pp_stages"], x, bias,
+                         deterministic, rng)
+            return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                                name="ln_f")(x)
         if (fused and deterministic and not self.is_initializing()
                 and bias is not None and self.split is not None):
             from dreamvla_tpu.ops.attention import is_tpu_backend

@@ -109,7 +109,9 @@ def apply_random_shifts(tcfg: TrainConfig, batch: Dict, rng) -> Dict:
     return batch
 
 
-def make_loss_fn(model: DreamVLA, tcfg: TrainConfig):
+def make_loss_fn(model: DreamVLA, tcfg: TrainConfig, trunk_pipeline=None):
+    """trunk_pipeline: optional pipeline-parallel trunk apply
+    (parallel.pp.build_trunk_pipeline), threaded through to GPT2Trunk."""
     def loss_fn(params, batch, rng):
         r_diff, r_drop, r_mask, r_aug = jax.random.split(rng, 4)
         batch = apply_random_shifts(tcfg, batch, r_aug)
@@ -117,7 +119,7 @@ def make_loss_fn(model: DreamVLA, tcfg: TrainConfig):
         outputs = model.apply(
             {"params": params}, mode="train", train=True,
             rngs={"diffusion": r_diff, "dropout": r_drop, "mask": r_mask},
-            **inputs)
+            trunk_pipeline=trunk_pipeline, **inputs)
         loss_batch = dict(batch)
         loss_batch["action_chunks"] = inputs.get("action_label")
         losses = compute_losses(model.cfg, tcfg, outputs, loss_batch)
