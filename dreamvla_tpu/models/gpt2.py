@@ -111,9 +111,10 @@ class GPT2Trunk(nn.Module):
         training paths must never pass it.
 
         pipeline, when set, replaces the sequential block loop with a
-        pipeline-parallel apply (parallel.pp.build_trunk_pipeline): params
-        must carry the stage-stacked 'pp_stages' subtree
-        (parallel.pp.stack_trunk_stages) instead of per-layer h_i keys.
+        parallel apply over the raw trunk param subtree — pipeline-parallel
+        (parallel.pp.build_trunk_pipeline, reads the stage-stacked
+        'pp_stages' subtree) or sequence-parallel
+        (parallel.sp.build_sp_trunk_apply, reads the per-layer h_i keys).
         """
         x = nn.Dropout(self.dropout, deterministic=deterministic, name="drop")(
             inputs_embeds
@@ -121,7 +122,7 @@ class GPT2Trunk(nn.Module):
         if pipeline is not None and not self.is_initializing():
             rng = (self.make_rng("dropout")
                    if (not deterministic and self.dropout > 0.0) else None)
-            x = pipeline(self.variables["params"]["pp_stages"], x, bias,
+            x = pipeline(self.variables["params"], x, bias,
                          deterministic, rng)
             return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                                 name="ln_f")(x)

@@ -114,14 +114,16 @@ def _trunk_block(cfg: DreamVLAConfig) -> GPT2Block:
 # ------------------------------------------------------------- pipeline
 def build_trunk_pipeline(cfg: DreamVLAConfig, mesh: Mesh, n_micro: int,
                          pp_axis: str = "pp", dp_axis: str = "dp"):
-    """Returns pipeline(stages, x, bias, deterministic, rng) for
+    """Returns pipeline(trunk_params, x, bias, deterministic, rng) for
     GPT2Trunk's `pipeline=` hook: x (B, L, D) with B sharded over dp,
-    stages as produced by stack_trunk_stages sharded over pp at dim 0."""
+    trunk_params carrying the 'pp_stages' subtree (stack_trunk_stages)
+    sharded over pp at dim 0."""
     block = _trunk_block(cfg)
     n_stages = mesh.shape[pp_axis]
     ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def pipeline(stages, x, bias, deterministic: bool, rng):
+    def pipeline(trunk_params, x, bias, deterministic: bool, rng):
+        stages = trunk_params["pp_stages"]
         det = bool(deterministic)
         if rng is None:
             rng = jax.random.PRNGKey(0)  # unused when det
