@@ -159,6 +159,21 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steady-state train"
                         " steps (epoch 0, steps 10-15) into this directory")
+    # scaling regimes beyond data parallelism (TPU-native extensions; the
+    # reference is DDP-only). Mutually exclusive; remaining devices form
+    # the dp axis (e.g. 8 devices with --fsdp 4 -> 2x4 dp x fsdp mesh).
+    p.add_argument("--fsdp", type=int, default=0,
+                   help="shard large param matrices N-way over an 'fsdp' "
+                        "mesh axis (parallel/fsdp.py)")
+    p.add_argument("--pp_stages", type=int, default=0,
+                   help="GPipe pipeline-parallel trunk over N stages "
+                        "(parallel/pp.py; trunk layers must divide evenly)")
+    p.add_argument("--pp_microbatches", type=int, default=4,
+                   help="microbatches circulating the pipeline ring "
+                        "(local batch must divide evenly)")
+    p.add_argument("--sp", type=int, default=0,
+                   help="sequence-parallel trunk: token axis sharded N-way "
+                        "with exact ring attention (parallel/sp.py)")
     p.add_argument("--report_to_wandb", action="store_true")
     p.add_argument("--wandb_project", default="dreamvla_tpu")
     p.add_argument("--save_checkpoint", action="store_true")
@@ -253,6 +268,8 @@ def cmd_train(args) -> None:
     from dreamvla_tpu.utils.logging import MetricLogger
     from dreamvla_tpu.utils import torch_import as ti
 
+    if sum(v > 1 for v in (args.fsdp, args.pp_stages, args.sp)) > 1:
+        raise SystemExit("pick at most one of --fsdp / --pp_stages / --sp")
     init_multihost()
     mcfg, tcfg = _configs_from_args(args)
     model = DreamVLA(mcfg)
@@ -275,6 +292,7 @@ def cmd_train(args) -> None:
         data = get_calvin_dataset(
             args.calvin_dataset,
             key="except_lang" if args.except_lang else "lang",
+            image_size=mcfg.image_size,  # loader must match the model
             pretrain=(mcfg.phase == "pretrain"),
             partial_data=args.partial_data, enrich_lang=enrich,
             load_track_labels=args.load_track_labels,
@@ -316,7 +334,7 @@ def cmd_train(args) -> None:
     steps_per_epoch = data.dataloader.num_batches
     total_steps = steps_per_epoch * tcfg.num_epochs
     sample = next(iter(data.dataloader))
-    state, tx, _ = create_train_state(
+    state, tx, schedule = create_train_state(
         model, tcfg, sample, jax.random.PRNGKey(tcfg.seed), total_steps,
         steps_per_epoch)
 
@@ -335,19 +353,60 @@ def cmd_train(args) -> None:
             reset_resampler=args.reset_resampler,
             share_query=mcfg.share_query)
     state = state.replace(params=params)
+
+    n_local = len(jax.devices())
+    if args.pp_stages > 1:
+        # restack BEFORE restore so resuming a pp run restores straight
+        # into the stage-stacked tree (cross-regime resume: use
+        # parallel.pp.unstack_trunk_stages offline)
+        from dreamvla_tpu.parallel.pp import stack_trunk_stages
+        from dreamvla_tpu.parallel.train_step import TrainState
+        from dreamvla_tpu.train.optimizer import build_optimizer
+
+        params_pp = stack_trunk_stages(state.params, args.pp_stages)
+        tx = build_optimizer(params_pp, schedule, tcfg.weight_decay,
+                             tcfg.grad_clip_norm)
+        state = TrainState(step=state.step, params=params_pp,
+                           opt_state=tx.init(params_pp))
+
     resume_epoch = 0
     if args.resume_from_checkpoint:
         state, resume_epoch = restore_checkpoint(args.resume_from_checkpoint,
                                                  state)
 
-    mesh = make_mesh(("dp",))
-    step_fn = build_train_step(model, tcfg, tx, mesh=mesh)
+    if args.fsdp > 1:
+        from dreamvla_tpu.parallel.fsdp import (build_fsdp_train_step,
+                                                make_fsdp_mesh, shard_state)
+
+        mesh = make_fsdp_mesh(max(n_local // args.fsdp, 1), args.fsdp)
+        state = shard_state(state, mesh)
+        step_fn = build_fsdp_train_step(model, tcfg, tx, mesh)(state)
+    elif args.pp_stages > 1:
+        from dreamvla_tpu.parallel.pp import (build_pp_train_step,
+                                              make_pp_mesh,
+                                              pp_state_shardings)
+
+        mesh = make_pp_mesh(max(n_local // args.pp_stages, 1),
+                            args.pp_stages)
+        state = jax.tree.map(jax.device_put, state,
+                             pp_state_shardings(state, mesh))
+        step_fn = build_pp_train_step(model, tcfg, tx, mesh,
+                                      args.pp_microbatches)(state)
+    elif args.sp > 1:
+        from dreamvla_tpu.parallel.sp import (build_sp_train_step,
+                                              make_sp_mesh)
+
+        mesh = make_sp_mesh(max(n_local // args.sp, 1), args.sp)
+        step_fn = build_sp_train_step(model, tcfg, tx, mesh)
+    else:
+        mesh = make_mesh(("dp",))
+        step_fn = build_train_step(model, tcfg, tx, mesh=mesh)
     logger = MetricLogger(args.report_to_wandb, args.wandb_project,
                           args.run_name) if rank == 0 else None
     val_data = None
     if args.validation and args.finetune_type == "calvin":
         val_data = get_calvin_dataset(args.calvin_dataset, validation=True,
-                                      **common)
+                                      image_size=mcfg.image_size, **common)
     rng = jax.random.PRNGKey(tcfg.seed + rank)
     for epoch in range(resume_epoch, tcfg.num_epochs):
         state, _ = train_one_epoch(model, tcfg, state, step_fn, data, epoch,

@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dreamvla_tpu.config import TrainConfig
 from dreamvla_tpu.models.dreamvla import DreamVLA
-from dreamvla_tpu.parallel.train_step import TrainState, make_loss_fn
+from dreamvla_tpu.parallel.train_step import (TrainState, accumulate_grads,
+                                              make_loss_fn)
 
 import optax
 
@@ -51,33 +52,20 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 def build_fsdp_train_step(model: DreamVLA, tcfg: TrainConfig, tx,
                           mesh: Mesh, donate: bool = True):
-    """jitted step(state, batch, rng): batch (accum, B, ...) sharded over
-    'dp' at dim 1; state sharded per `state_shardings`; GSPMD handles all
-    communication (gradient reduction over dp, weight gathers over fsdp)."""
+    """jitted step(state, batch, rng) -> (state, LossOutputs): batch
+    (accum, B, ...) sharded over 'dp' at dim 1; state sharded per
+    `state_shardings`; GSPMD handles all communication (gradient reduction
+    over dp, weight gathers over fsdp)."""
     loss_fn = make_loss_fn(model, tcfg)
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        accum = batch["states"].shape[0]
-
-        def micro(carry, xs):
-            grads_acc, loss_acc = carry
-            mb, mb_rng = xs
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, mb, mb_rng)
-            return (jax.tree.map(jnp.add, grads_acc, grads),
-                    loss_acc + loss), None
-
-        zero_g = jax.tree.map(jnp.zeros_like, state.params)
-        rngs = jax.random.split(rng, accum)
-        (grads, loss), _ = jax.lax.scan(micro, (zero_g, jnp.zeros(())),
-                                        (batch, rngs))
-        grads = jax.tree.map(lambda g: g / accum, grads)
+        grads, losses = accumulate_grads(loss_fn, state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
-        return new_state, loss / accum
+        return new_state, losses
 
     def compile_step(state):
         st_sh = state_shardings(state, mesh)

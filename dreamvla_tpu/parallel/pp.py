@@ -49,7 +49,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dreamvla_tpu.config import DreamVLAConfig, TrainConfig
 from dreamvla_tpu.models.dreamvla import DreamVLA
 from dreamvla_tpu.models.gpt2 import GPT2Block
-from dreamvla_tpu.parallel.train_step import (TrainState, create_train_state,
+from dreamvla_tpu.parallel.train_step import (TrainState, accumulate_grads,
+                                              create_train_state,
                                               make_loss_fn)
 from dreamvla_tpu.train.optimizer import build_optimizer
 
@@ -226,7 +227,8 @@ def pp_state_shardings(state: TrainState, mesh: Mesh, pp_axis: str = "pp"):
 
 def build_pp_train_step(model: DreamVLA, tcfg: TrainConfig, tx, mesh: Mesh,
                         n_micro: int, donate: bool = True):
-    """Returns compile_step(state) -> jitted step(state, batch, rng).
+    """Returns compile_step(state) -> jitted step(state, batch, rng) ->
+    (state, LossOutputs).
 
     batch leaves are (accum, B, ...) with B sharded over 'dp' at dim 1
     (device_put via parallel.mesh.shard_batch); state sharded per
@@ -236,25 +238,11 @@ def build_pp_train_step(model: DreamVLA, tcfg: TrainConfig, tx, mesh: Mesh,
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        accum = batch["states"].shape[0]
-
-        def micro(carry, xs):
-            grads_acc, loss_acc = carry
-            mbatch, mb_rng = xs
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, mbatch, mb_rng)
-            return (jax.tree.map(jnp.add, grads_acc, grads),
-                    loss_acc + loss), None
-
-        zero_g = jax.tree.map(jnp.zeros_like, state.params)
-        rngs = jax.random.split(rng, accum)
-        (grads, loss), _ = jax.lax.scan(micro, (zero_g, jnp.zeros(())),
-                                        (batch, rngs))
-        grads = jax.tree.map(lambda g: g / accum, grads)
+        grads, losses = accumulate_grads(loss_fn, state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(step=state.step + 1, params=params,
-                           opt_state=opt_state), loss / accum)
+                           opt_state=opt_state), losses)
 
     def compile_step(state):
         st_sh = pp_state_shardings(state, mesh)

@@ -42,6 +42,34 @@ def make_sp_mesh(n_dp: int, n_sp: int, devices=None) -> Mesh:
     return Mesh(devices[: n_dp * n_sp].reshape(n_dp, n_sp), ("dp", "sp"))
 
 
+def build_sp_train_step(model, tcfg, tx, mesh: Mesh, donate: bool = True):
+    """jitted step(state, batch, rng) -> (state, LossOutputs) with the
+    trunk running sequence-parallel: batch (accum, B, ...) sharded over
+    'dp' at dim 1 (parallel.mesh.shard_batch), state replicated — only the
+    trunk region re-shards its token axis over 'sp'. Same contract as
+    parallel/fsdp.py's step."""
+    import optax
+
+    from dreamvla_tpu.parallel.train_step import (TrainState,
+                                                  accumulate_grads,
+                                                  make_loss_fn)
+
+    sp_apply = build_sp_trunk_apply(model.cfg, mesh)
+    loss_fn = make_loss_fn(model, tcfg, trunk_pipeline=sp_apply)
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, losses = accumulate_grads(loss_fn, state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state), losses)
+
+    # shardings come from the arrays (caller: state replicated, batch via
+    # shard_batch); GSPMD propagates around the trunk's shard_map region
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def _layer_norm(p, x, eps: float, dt):
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)

@@ -127,6 +127,38 @@ def make_loss_fn(model: DreamVLA, tcfg: TrainConfig, trunk_pipeline=None):
     return loss_fn
 
 
+def accumulate_grads(loss_fn, params, batch, rng):
+    """Micro-batch gradient accumulation shared by every regime (dp /
+    fsdp / pp / sp): batch leaves (accum, B, ...) -> (grads, LossOutputs),
+    both averaged over the accum axis (reference train_utils.py:588-608)."""
+    accum = batch["states"].shape[0]
+    if accum == 1:
+        # no accumulation: skip the zero-init + add of a full
+        # gradient buffer (~2 extra params-sized HBM passes)
+        mb = jax.tree.map(lambda x: x[0], batch)
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, rng)
+        return grads, losses
+
+    def micro(carry, xs):
+        grads_acc, losses_acc = carry
+        mb, mb_rng = xs
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, mb_rng)
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        losses_acc = jax.tree.map(jnp.add, losses_acc, losses)
+        return (grads_acc, losses_acc), None
+
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    zero_l = LossOutputs(*([jnp.zeros((), jnp.float32)] * 8))
+    rngs = jax.random.split(rng, accum)
+    (grads, losses), _ = jax.lax.scan(micro, (zero_g, zero_l), (batch, rngs))
+    scale = 1.0 / accum
+    grads = jax.tree.map(lambda x: x * scale, grads)
+    losses = jax.tree.map(lambda x: x * scale, losses)
+    return grads, losses
+
+
 def build_train_step(model: DreamVLA, tcfg: TrainConfig, tx,
                      mesh: Optional[Mesh] = None, dp_axis: str = "dp",
                      donate: bool = True):
@@ -139,32 +171,7 @@ def build_train_step(model: DreamVLA, tcfg: TrainConfig, tx,
     loss_fn = make_loss_fn(model, tcfg)
 
     def local_grads(params, batch, rng):
-        accum = batch["states"].shape[0]
-        if accum == 1:
-            # no accumulation: skip the zero-init + add of a full
-            # gradient buffer (~2 extra params-sized HBM passes)
-            mb = jax.tree.map(lambda x: x[0], batch)
-            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, mb, rng)
-            return grads, losses
-
-        def micro(carry, xs):
-            grads_acc, losses_acc = carry
-            mb, mb_rng = xs
-            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, mb, mb_rng)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            losses_acc = jax.tree.map(jnp.add, losses_acc, losses)
-            return (grads_acc, losses_acc), None
-
-        zero_g = jax.tree.map(jnp.zeros_like, params)
-        zero_l = LossOutputs(*([jnp.zeros((), jnp.float32)] * 8))
-        rngs = jax.random.split(rng, accum)
-        (grads, losses), _ = jax.lax.scan(micro, (zero_g, zero_l), (batch, rngs))
-        scale = 1.0 / accum
-        grads = jax.tree.map(lambda x: x * scale, grads)
-        losses = jax.tree.map(lambda x: x * scale, losses)
-        return grads, losses
+        return accumulate_grads(loss_fn, params, batch, rng)
 
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

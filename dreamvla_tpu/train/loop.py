@@ -86,8 +86,12 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
 
             save_checkpoint(ckpt_dir, epoch, state, delete_previous=True)
         if logger is not None and i % log_every == 0:
-            global_bs = (tcfg.batch_size * tcfg.gradient_accumulation_steps
-                         * (1 if mesh is None else mesh.size))
+            # each process's loader yields batch_size samples per step and
+            # device_batch SPLITS (not replicates) them into accum
+            # micro-batches, so the global step consumes
+            # batch_size * process_count samples — NOT x accum and NOT
+            # x local device count (shard_batch splits over local dp)
+            global_bs = tcfg.batch_size * jax.process_count()
             # ONE host<->device sync for the whole scalar tree: per-float()
             # conversions each cost a tunnel RTT (40-70 ms on pod TPUs)
             host = jax.device_get({

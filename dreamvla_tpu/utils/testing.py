@@ -82,6 +82,37 @@ def make_synthetic_batch(cfg: DreamVLAConfig, tcfg: TrainConfig, batch: int,
     return out
 
 
+def make_disk_calvin(root, n: int = 24, seed: int = 0) -> None:
+    """Write a tiny CALVIN-shape episode directory under `root` (a
+    'training' split dir): per-frame npz files + language annotations +
+    episode index, matching data/calvin.py's on-disk contract."""
+    import os
+
+    import numpy as np
+
+    os.makedirs(os.path.join(root, "lang_annotations"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        np.savez(
+            os.path.join(root, f"episode_{i:07d}.npz"),
+            rgb_static=rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+            rgb_gripper=rng.integers(0, 255, (48, 48, 3), dtype=np.uint8),
+            depth_static=rng.random((64, 64)).astype(np.float32),
+            depth_gripper=rng.random((48, 48)).astype(np.float32),
+            rel_actions=np.concatenate(
+                [rng.normal(size=6),
+                 [1.0 if i % 2 else -1.0]]).astype(np.float32),
+            robot_obs=np.concatenate(
+                [rng.normal(size=14), [1.0]]).astype(np.float32),
+            scene_obs=rng.normal(size=24).astype(np.float32),
+        )
+    np.save(os.path.join(root, "lang_annotations", "auto_lang_ann.npy"),
+            {"info": {"indx": [(0, n - 1)]},
+             "language": {"ann": ["do the thing"], "task": ["thing"]}})
+    np.save(os.path.join(root, "ep_start_end_ids.npy"),
+            np.array([[0, n - 1]]))
+
+
 def add_accum_axis(batch: Dict, accum: int = 1) -> Dict:
     """Tile a micro-batch into the (accum, B, ...) layout of the train step."""
     return {k: np.broadcast_to(v[None], (accum,) + v.shape).copy()

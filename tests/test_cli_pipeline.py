@@ -248,3 +248,54 @@ def test_train_parser_accepts_every_reference_flag():
             argv += [f"--{f}", "x"]
     args = parser.parse_args(argv)
     assert args.command == "train"
+
+
+def test_train_parallelism_flags_parse_and_exclude():
+    parser = cli.build_parser()
+    args = parser.parse_args(["train", "--preset", "tiny_test",
+                              "--fsdp", "4"])
+    assert args.fsdp == 4 and args.pp_stages == 0 and args.sp == 0
+    args = parser.parse_args(["train", "--preset", "tiny_test",
+                              "--pp_stages", "2", "--pp_microbatches", "2"])
+    assert args.pp_stages == 2 and args.pp_microbatches == 2
+    # regimes are mutually exclusive — cmd_train rejects combinations
+    # before touching data or devices
+    args = parser.parse_args(["train", "--preset", "tiny_test",
+                              "--fsdp", "2", "--sp", "2"])
+    with pytest.raises(SystemExit):
+        cli.cmd_train(args)
+
+
+def test_cmd_train_pp_end_to_end(tmp_path, monkeypatch):
+    """One real epoch through the CLI with --pp_stages: exercises the
+    routing (stage restack, optimizer rebuild, pp shardings, GPipe step)
+    from argv to checkpoint."""
+    import dataclasses
+
+    from dreamvla_tpu import config as dvconfig
+    from dreamvla_tpu.utils.testing import make_disk_calvin
+
+    # the CLI data path always tokenizes language, so the tiny preset needs
+    # its text tower on (HashTokenizer fallback covers the missing vocab)
+    def tiny_with_text():
+        cfg, tcfg = dvconfig.tiny_test()
+        return dataclasses.replace(cfg, include_text_encoder=True), tcfg
+
+    monkeypatch.setitem(dvconfig.PRESETS, "tiny_test", tiny_with_text)
+
+    root = tmp_path / "calvin" / "training"
+    make_disk_calvin(str(root))
+    parser = cli.build_parser()
+    args = parser.parse_args([
+        "train", "--preset", "tiny_test",
+        "--calvin_dataset", str(tmp_path / "calvin"),
+        "--batch_size", "8", "--num_epochs", "1", "--workers", "1",
+        "--pp_stages", "2", "--pp_microbatches", "2",
+        "--save_checkpoint", "--save_checkpoint_path", str(tmp_path / "ck"),
+        "--run_name", "pp_smoke",
+    ])
+    cli.cmd_train(args)
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(tmp_path / "ck" / "pp_smoke")) as mgr:
+        assert mgr.all_steps() == [0]

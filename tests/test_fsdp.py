@@ -33,8 +33,8 @@ def test_fsdp_step_runs_and_shards_params():
     gbatch = shard_batch(mesh, jax.tree.map(jnp.asarray, gbatch))
 
     step = build_fsdp_train_step(model, tcfg, tx, mesh, donate=False)(sharded)
-    st2, loss = step(sharded, gbatch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(loss))
+    st2, losses = step(sharded, gbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses.total))
     # two steps to get past warmup lr=0, then params must move
     st3, _ = step(st2, gbatch, jax.random.PRNGKey(2))
     moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),

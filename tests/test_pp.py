@@ -105,10 +105,10 @@ def test_pp_train_step_runs_with_dropout_and_shards_stages():
 
     step = build_pp_train_step(model, tcfg, tx, mesh, n_micro=2,
                                donate=False)(state)
-    st2, loss = step(state, gbatch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(loss))
-    st3, loss3 = step(st2, gbatch, jax.random.PRNGKey(2))
-    assert np.isfinite(float(loss3))
+    st2, losses = step(state, gbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses.total))
+    st3, losses3 = step(st2, gbatch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses3.total))
     moved = jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()),
         st2.params["transformer_backbone"]["pp_stages"],
