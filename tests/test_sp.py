@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dreamvla_tpu.config import tiny_test
 from dreamvla_tpu.models.dreamvla import DreamVLA
@@ -20,25 +21,35 @@ from dreamvla_tpu.parallel.train_step import (create_train_state,
 from dreamvla_tpu.utils.testing import make_synthetic_batch
 
 
-def test_sp_loss_and_grads_match_sequential():
+@pytest.fixture(scope="module")
+def shared():
+    """One params init for the whole module — init traces the full model
+    (~30 s on this 1-core CPU) and dropout does not change param shapes,
+    so both tests reuse it."""
     cfg, tcfg = tiny_test()
-    cfg = dataclasses.replace(cfg, dropout=0.0)
-    model = DreamVLA(cfg)
-    batch = make_synthetic_batch(cfg, tcfg, batch=4)
+    cfg0 = dataclasses.replace(cfg, dropout=0.0)
+    model = DreamVLA(cfg0)
+    batch = make_synthetic_batch(cfg0, tcfg, batch=4)
     state, _, _ = create_train_state(model, tcfg, batch,
                                      jax.random.PRNGKey(0), total_steps=10)
-    batch = jax.tree.map(jnp.asarray, batch)
+    return cfg, tcfg, jax.tree.map(jnp.asarray, batch), state.params
+
+
+def test_sp_loss_and_grads_match_sequential(shared):
+    cfg, tcfg, batch, params = shared
+    cfg = dataclasses.replace(cfg, dropout=0.0)
+    model = DreamVLA(cfg)
     rng = jax.random.PRNGKey(3)
 
     loss_plain = make_loss_fn(model, tcfg)
-    (l1, _), g1 = jax.value_and_grad(loss_plain, has_aux=True)(
-        state.params, batch, rng)
+    (l1, _), g1 = jax.jit(jax.value_and_grad(loss_plain, has_aux=True))(
+        params, batch, rng)
 
     mesh = make_sp_mesh(2, 3)  # trunk L=90 tokens -> 30/shard
     sp_apply = build_sp_trunk_apply(cfg, mesh)
     loss_sp = make_loss_fn(model, tcfg, trunk_pipeline=sp_apply)
-    (l2, _), g2 = jax.value_and_grad(loss_sp, has_aux=True)(
-        state.params, batch, rng)
+    (l2, _), g2 = jax.jit(jax.value_and_grad(loss_sp, has_aux=True))(
+        params, batch, rng)
 
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
@@ -51,16 +62,13 @@ def test_sp_loss_and_grads_match_sequential():
             err_msg=jax.tree_util.keystr(path))
 
 
-def test_sp_runs_with_dropout():
-    cfg, tcfg = tiny_test()  # dropout 0.1 default
+def test_sp_runs_with_dropout(shared):
+    cfg, tcfg, batch, params = shared  # dropout 0.1 default in cfg
     assert cfg.dropout > 0
     model = DreamVLA(cfg)
-    batch = make_synthetic_batch(cfg, tcfg, batch=2)
-    state, _, _ = create_train_state(model, tcfg, batch,
-                                     jax.random.PRNGKey(0), total_steps=10)
-    batch = jax.tree.map(jnp.asarray, batch)
+    batch = jax.tree.map(lambda a: a[:2], batch)
     mesh = make_sp_mesh(1, 2)
     sp_apply = build_sp_trunk_apply(cfg, mesh)
     loss_sp = make_loss_fn(model, tcfg, trunk_pipeline=sp_apply)
-    loss, _ = loss_sp(state.params, batch, jax.random.PRNGKey(5))
+    loss, _ = jax.jit(loss_sp)(params, batch, jax.random.PRNGKey(5))
     assert np.isfinite(float(loss))
