@@ -128,7 +128,37 @@ def measure(run_n, warm, params, steps, repeats=REPEATS):
     return float(np.median(times))
 
 
+def _device_watchdog(timeout_s: int = 900):
+    """Fail fast if the TPU tunnel is wedged.
+
+    Device init hangs inside PJRT C++ when the tunnel is down (observed:
+    jax.devices() blocking >9 min), where no in-process timeout can fire.
+    Probe it in a THROWAWAY subprocess first; on failure print an honest
+    JSON error line (value 0) and exit instead of hanging the driver.
+    """
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp; assert jax.devices(); "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "(x @ x).block_until_ready()")
+    try:
+        subprocess.run([sys.executable, "-c", probe], timeout=timeout_s,
+                       check=True, capture_output=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "action_chunks_per_sec_per_chip", "value": 0.0,
+            "unit": "chunks/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"device unavailable: {type(e).__name__} "
+                     f"(tunnel probe failed within {timeout_s}s)",
+        }))
+        sys.exit(0)
+
+
 def main():
+    _device_watchdog()
+
     import jax
     import jax.numpy as jnp
 
