@@ -117,3 +117,130 @@ def add_accum_axis(batch: Dict, accum: int = 1) -> Dict:
     """Tile a micro-batch into the (accum, B, ...) layout of the train step."""
     return {k: np.broadcast_to(v[None], (accum,) + v.shape).copy()
             for k, v in batch.items()}
+
+
+# ---------------------------------------------------------------------------
+# Cached test inits.
+#
+# Full-model `model.init` traces the whole DreamVLA graph — ~20-30 s per
+# config on the 1-core CPU this suite runs on, and the suite pays it in a
+# dozen files. Init values are arbitrary random draws, so any PRIOR init
+# with the same tree is a valid one to reuse; the cache key hashes every
+# package source plus the config/shape signature, so ANY code edit safely
+# invalidates (a committed warm cache then makes even a fresh-clone suite
+# run fast, same idea as the committed XLA compile cache next to it).
+# ---------------------------------------------------------------------------
+
+_PARAM_CACHE_DIR = None  # set by tests/conftest.py; None disables caching
+
+
+def set_param_cache_dir(path) -> None:
+    global _PARAM_CACHE_DIR
+    _PARAM_CACHE_DIR = path
+
+
+def _package_source_hash() -> str:
+    import hashlib
+    import os
+
+    import dreamvla_tpu
+
+    root = os.path.dirname(dreamvla_tpu.__file__)
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    import flax
+    import jax
+
+    h.update(f"{jax.__version__}/{flax.__version__}".encode())
+    return h.hexdigest()[:16]
+
+
+_SRC_HASH = None
+
+
+def init_signature(mode: str, rng_names, inputs) -> str:
+    """Canonical signature for cached_init: identical inits from different
+    test files dedupe to one cache entry."""
+    return (f"init|{mode}|rngs:{','.join(sorted(rng_names))}|"
+            + "|".join(f"{k}:{np.asarray(v).shape}:{np.asarray(v).dtype}"
+                       for k, v in sorted(inputs.items())))
+
+
+def cached_init(model, init_thunk, signature: str):
+    """Return `init_thunk()`'s params tree, disk-cached.
+
+    signature must determine the tree (config repr + input shapes + seeds);
+    the package-source hash is mixed in automatically.
+    """
+    global _SRC_HASH
+    if _PARAM_CACHE_DIR is None:
+        return init_thunk()
+    import hashlib
+    import os
+    import pickle
+
+    import jax
+
+    if _SRC_HASH is None:
+        _SRC_HASH = _package_source_hash()
+    key = hashlib.sha256(
+        (repr(model.cfg if hasattr(model, "cfg") else model)
+         + "|" + signature + "|" + _SRC_HASH).encode()).hexdigest()[:24]
+    base = os.path.join(_PARAM_CACHE_DIR, key)
+    # .pkl entries are committed (warm for a fresh clone); entries above
+    # the size cap go to .local.pkl (gitignored) so the repo stays lean
+    for suffix in (".pkl", ".local.pkl"):
+        if os.path.exists(base + suffix):
+            with open(base + suffix, "rb") as f:
+                return pickle.load(f)
+    params = jax.device_get(init_thunk())
+    blob = pickle.dumps(params)
+    cap = int(os.environ.get("DREAMVLA_PARAM_CACHE_MAX", 6 * 2**20))
+    path = base + (".pkl" if len(blob) <= cap else ".local.pkl")
+    os.makedirs(_PARAM_CACHE_DIR, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return params
+
+
+def cached_train_state(model, tcfg, batch, seed: int, total_steps: int,
+                       steps_per_epoch: int = 1000):
+    """create_train_state with the expensive model.init disk-cached.
+
+    Same return contract as parallel.train_step.create_train_state; the
+    optimizer/schedule are rebuilt (cheap) rather than cached.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dreamvla_tpu.parallel.train_step import (TrainState,
+                                                  create_train_state)
+    from dreamvla_tpu.train.optimizer import (build_lr_schedule,
+                                              build_optimizer)
+
+    sig = (f"train_state|{repr(tcfg)}|seed{seed}|"
+           + "|".join(f"{k}:{np.asarray(v).shape}:{np.asarray(v).dtype}"
+                      for k, v in sorted(batch.items())))
+    params = cached_init(
+        model,
+        lambda: create_train_state(model, tcfg, batch,
+                                   jax.random.PRNGKey(seed), total_steps,
+                                   steps_per_epoch)[0].params,
+        sig)
+    schedule = build_lr_schedule(
+        tcfg.lr_scheduler, tcfg.learning_rate,
+        tcfg.warmup_epochs * steps_per_epoch, total_steps)
+    tx = build_optimizer(params, schedule, tcfg.weight_decay,
+                         tcfg.grad_clip_norm)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    return state, tx, schedule

@@ -29,3 +29,16 @@ if _cache_dir != "off":
 
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
     "tests must run on the 8-device virtual CPU mesh")
+
+# Init-params disk cache (same idea as the compile cache above: full-model
+# init traces ~20-30 s per config on this 1-core host). Keyed by a hash of
+# every package source, so any code edit invalidates; committed warm so a
+# fresh clone's first suite run benefits too. DREAMVLA_TEST_PARAM_CACHE=off
+# disables.
+from dreamvla_tpu.utils import testing as _testing  # noqa: E402
+
+_pcache = os.environ.get(
+    "DREAMVLA_TEST_PARAM_CACHE",
+    os.path.join(os.path.dirname(__file__), ".param_cache"))
+if _pcache != "off":
+    _testing.set_param_cache_dir(_pcache)

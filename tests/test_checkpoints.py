@@ -12,14 +12,15 @@ from dreamvla_tpu.parallel.train_step import create_train_state
 from dreamvla_tpu.train.checkpoints import (finetune_surgery,
                                             restore_checkpoint,
                                             save_checkpoint)
-from dreamvla_tpu.utils.testing import make_synthetic_batch
+from dreamvla_tpu.utils.testing import (cached_train_state,
+                                        make_synthetic_batch)
 
 
 def make_state(cfg, tcfg, seed=0):
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=1)
-    state, tx, _ = create_train_state(model, tcfg, batch,
-                                      jax.random.PRNGKey(seed), total_steps=10)
+    state, tx, _ = cached_train_state(model, tcfg, batch, seed,
+                                      total_steps=10)
     return state
 
 

@@ -12,15 +12,15 @@ from dreamvla_tpu.parallel.fsdp import (build_fsdp_train_step, make_fsdp_mesh,
                                         shard_state, state_shardings)
 from dreamvla_tpu.parallel.mesh import shard_batch
 from dreamvla_tpu.parallel.train_step import create_train_state
-from dreamvla_tpu.utils.testing import add_accum_axis, make_synthetic_batch
+from dreamvla_tpu.utils.testing import (cached_train_state,
+                                        add_accum_axis, make_synthetic_batch)
 
 
 def test_fsdp_step_runs_and_shards_params():
     cfg, tcfg = tiny_test()
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=1)
-    state, tx, _ = create_train_state(model, tcfg, batch,
-                                      jax.random.PRNGKey(0), total_steps=10)
+    state, tx, _ = cached_train_state(model, tcfg, batch, 0, total_steps=10)
     mesh = make_fsdp_mesh(2, 4)
     sharded = shard_state(state, mesh)
     # at least one large kernel actually sharded over fsdp

@@ -19,7 +19,8 @@ from dreamvla_tpu.config import tiny_test
 from dreamvla_tpu.eval.offline import evaluate_open_loop
 from dreamvla_tpu.models.dreamvla import DreamVLA
 from dreamvla_tpu.parallel.train_step import build_train_step, create_train_state
-from dreamvla_tpu.utils.testing import add_accum_axis, make_synthetic_batch
+from dreamvla_tpu.utils.testing import (cached_train_state,
+                                        add_accum_axis, make_synthetic_batch)
 
 
 class _OneBatchData:
@@ -39,8 +40,8 @@ def test_overfit_one_batch_learns():
                                grad_clip_norm=1.0)
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=2, learnable=True)
-    state, tx, _ = create_train_state(model, tcfg, batch,
-                                      jax.random.PRNGKey(0), total_steps=1000)
+    state, tx, _ = cached_train_state(model, tcfg, batch, 0,
+                                      total_steps=1000)
     step = build_train_step(model, tcfg, tx, mesh=None, donate=False)
     abatch = jax.tree.map(jnp.asarray, add_accum_axis(batch, accum=1))
 

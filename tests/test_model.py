@@ -10,6 +10,7 @@ import pytest
 from dreamvla_tpu.config import tiny_test
 from dreamvla_tpu.models.dreamvla import DreamVLA
 from dreamvla_tpu.models.dit import ActionDiffusionHead
+from dreamvla_tpu.utils.testing import cached_init, init_signature
 
 
 @pytest.fixture(scope="module")
@@ -33,7 +34,9 @@ def init_model(cfg, inputs):
             "diffusion": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2),
             "mask": jax.random.PRNGKey(3)}
-    variables = model.init(rngs, mode="train", train=False, **inputs)
+    variables = cached_init(
+        model, lambda: model.init(rngs, mode="train", train=False, **inputs),
+        init_signature("train", rngs, inputs))
     return model, variables
 
 

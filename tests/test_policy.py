@@ -12,6 +12,7 @@ from dreamvla_tpu.eval.ensemble import AdaptiveEnsembler, TemporalEnsembler
 from dreamvla_tpu.data.tokenizer import get_tokenizer
 from dreamvla_tpu.eval.policy import PolicyWrapper
 from dreamvla_tpu.models.dreamvla import DreamVLA
+from dreamvla_tpu.utils.testing import cached_init, init_signature
 
 
 def make_calvin_obs(rng, t):
@@ -37,8 +38,10 @@ def wrapper():
         state=np.zeros((b, s, 7), np.float32),
         text_tokens=np.zeros((b, 77), np.int32),
     )
-    variables = model.init({"params": jax.random.PRNGKey(0)}, mode="test",
-                           train=False, **inputs)
+    variables = cached_init(
+        model, lambda: model.init({"params": jax.random.PRNGKey(0)},
+                                  mode="test", train=False, **inputs),
+        init_signature("test", ["params"], inputs))
     return model, variables["params"]
 
 
@@ -191,9 +194,12 @@ def test_feature_cache_parity_with_dit_head():
         text_tokens=np.zeros((b, 77), np.int32),
         action_label=np.zeros((b, s, cfg.action_pred_steps, 7), np.float32),
     )
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
-        mode="train", train=False, **inputs)
+    variables = cached_init(
+        model, lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1)},
+            mode="train", train=False, **inputs),
+        init_signature("train", ["params", "diffusion"], inputs))
     params = dict(variables["params"])
     # at init the DiT's eps head is all-zero and actions ignore the feature
     # path entirely — densify so a feature-cache bug actually shows up here

@@ -22,6 +22,7 @@ from dreamvla_tpu.data.tokenizer import get_tokenizer
 from dreamvla_tpu.data.transforms import clip_image_transform
 from dreamvla_tpu.eval.policy import PolicyWrapper, build_policy_fn
 from dreamvla_tpu.models.dreamvla import DreamVLA
+from dreamvla_tpu.utils.testing import cached_init, init_signature
 
 
 SEQ = 4  # > tiny default so both pad phases (num_step < / >= S) are hit
@@ -39,8 +40,10 @@ def policy_net():
         image_wrist=np.zeros((b, s, 3, 32, 32), np.float32),
         state=np.zeros((b, s, 7), np.float32),
         text_tokens=np.zeros((b, 77), np.int32))
-    variables = model.init({"params": jax.random.PRNGKey(0)}, mode="test",
-                           train=False, **inputs)
+    variables = cached_init(
+        model, lambda: model.init({"params": jax.random.PRNGKey(0)},
+                                  mode="test", train=False, **inputs),
+        init_signature("test", ["params"], inputs))
     return model, variables["params"], mcfg
 
 

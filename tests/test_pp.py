@@ -22,10 +22,10 @@ from dreamvla_tpu.parallel.pp import (build_pp_train_step,
                                       build_trunk_pipeline, make_pp_mesh,
                                       pp_state_shardings, stack_trunk_stages,
                                       unstack_trunk_stages)
-from dreamvla_tpu.parallel.train_step import (TrainState, create_train_state,
-                                              make_loss_fn)
+from dreamvla_tpu.parallel.train_step import TrainState, make_loss_fn
 from dreamvla_tpu.train.optimizer import build_lr_schedule, build_optimizer
-from dreamvla_tpu.utils.testing import add_accum_axis, make_synthetic_batch
+from dreamvla_tpu.utils.testing import (add_accum_axis, cached_train_state,
+                                        make_synthetic_batch)
 
 
 def _pp_cfg(dropout: float):
@@ -42,8 +42,7 @@ def shared():
     cfg, tcfg = _pp_cfg(0.0)
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=4)
-    state, _, _ = create_train_state(model, tcfg, batch,
-                                     jax.random.PRNGKey(0), total_steps=10)
+    state, _, _ = cached_train_state(model, tcfg, batch, 0, total_steps=10)
     return tcfg, jax.tree.map(jnp.asarray, batch), state.params
 
 

@@ -16,9 +16,9 @@ import pytest
 from dreamvla_tpu.config import tiny_test
 from dreamvla_tpu.models.dreamvla import DreamVLA
 from dreamvla_tpu.parallel.sp import build_sp_trunk_apply, make_sp_mesh
-from dreamvla_tpu.parallel.train_step import (create_train_state,
-                                              make_loss_fn)
-from dreamvla_tpu.utils.testing import make_synthetic_batch
+from dreamvla_tpu.parallel.train_step import make_loss_fn
+from dreamvla_tpu.utils.testing import (cached_train_state,
+                                        make_synthetic_batch)
 
 
 @pytest.fixture(scope="module")
@@ -30,8 +30,7 @@ def shared():
     cfg0 = dataclasses.replace(cfg, dropout=0.0)
     model = DreamVLA(cfg0)
     batch = make_synthetic_batch(cfg0, tcfg, batch=4)
-    state, _, _ = create_train_state(model, tcfg, batch,
-                                     jax.random.PRNGKey(0), total_steps=10)
+    state, _, _ = cached_train_state(model, tcfg, batch, 0, total_steps=10)
     return cfg, tcfg, jax.tree.map(jnp.asarray, batch), state.params
 
 

@@ -17,7 +17,8 @@ from dreamvla_tpu.eval.policy import build_policy_core
 from dreamvla_tpu.models.dreamvla import DreamVLA
 from dreamvla_tpu.parallel.tp import (make_tp_mesh, param_shardings_tp,
                                       shard_batch_dp, shard_params_tp)
-from dreamvla_tpu.utils.testing import make_synthetic_batch
+from dreamvla_tpu.utils.testing import (make_synthetic_batch,
+                                        cached_init)
 
 
 def test_tp_policy_matches_single_device():
@@ -30,12 +31,15 @@ def test_tp_policy_matches_single_device():
     iw = jnp.asarray(rng.normal(size=(b, s, 3, 32, 32)), jnp.float32)
     st = jnp.asarray(rng.normal(size=(b, s, 7)), jnp.float32)
     tf = jnp.asarray(rng.normal(size=(b, 512)), jnp.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
-         "dropout": jax.random.PRNGKey(2), "mask": jax.random.PRNGKey(3)},
-        image_primary=ip, image_wrist=iw, state=st, text_features=tf,
-        action_label=jnp.zeros((b, s, cfg.action_pred_steps, 7)),
-        mode="train", train=False)
+    variables = cached_init(
+        model, lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2), "mask": jax.random.PRNGKey(3)},
+            image_primary=ip, image_wrist=iw, state=st, text_features=tf,
+            action_label=jnp.zeros((b, s, cfg.action_pred_steps, 7)),
+            mode="train", train=False),
+        f"test_tp|b{b}")
     params = variables["params"]
     policy = build_policy_core(model)
     key = jax.random.PRNGKey(7)

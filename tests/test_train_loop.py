@@ -21,6 +21,7 @@ from dreamvla_tpu.parallel.mesh import make_mesh
 from dreamvla_tpu.parallel.train_step import build_train_step, create_train_state
 from dreamvla_tpu.train.loop import train_one_epoch
 from dreamvla_tpu.utils.logging import MetricLogger
+from dreamvla_tpu.utils.testing import cached_train_state
 
 
 @pytest.fixture(scope="module")
@@ -63,8 +64,8 @@ def loop_setup(calvin_root):
                               num_workers=2, image_size=cfg.image_size,
                               tokenizer=HashTokenizer())
     sample = next(iter(data.dataloader))
-    state, tx, _ = create_train_state(
-        model, tcfg, sample, jax.random.PRNGKey(0), total_steps=10)
+    state, tx, _ = cached_train_state(model, tcfg, sample, 0,
+                                       total_steps=10)
     return cfg, tcfg, model, data, sample, state, tx
 
 

@@ -16,7 +16,8 @@ from dreamvla_tpu.parallel.train_step import (
     prepare_model_inputs,
 )
 from dreamvla_tpu.train.losses import silog_loss, smooth_l1, binary_cross_entropy
-from dreamvla_tpu.utils.testing import add_accum_axis, make_synthetic_batch
+from dreamvla_tpu.utils.testing import (cached_train_state,
+                                        add_accum_axis, make_synthetic_batch)
 
 
 def test_loss_primitives_match_torch():
@@ -50,8 +51,7 @@ def tiny_setup():
     tcfg = dataclasses.replace(tcfg, flow_as_mask=True)
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=2)
-    state, tx, _ = create_train_state(
-        model, tcfg, batch, jax.random.PRNGKey(0), total_steps=10)
+    state, tx, _ = cached_train_state(model, tcfg, batch, 0, total_steps=10)
     return cfg, tcfg, model, batch, state, tx
 
 
