@@ -213,11 +213,13 @@ def cached_init(model, init_thunk, signature: str):
 
 
 def cached_train_state(model, tcfg, batch, seed: int, total_steps: int,
-                       steps_per_epoch: int = 1000):
+                       steps_per_epoch: int = 1000, create_fn=None):
     """create_train_state with the expensive model.init disk-cached.
 
     Same return contract as parallel.train_step.create_train_state; the
-    optimizer/schedule are rebuilt (cheap) rather than cached.
+    optimizer/schedule are rebuilt (cheap) rather than cached. create_fn
+    overrides the init function (e.g. when the module attribute is itself
+    monkeypatched to this wrapper — avoids recursing through the patch).
     """
     import jax
     import jax.numpy as jnp
@@ -227,14 +229,16 @@ def cached_train_state(model, tcfg, batch, seed: int, total_steps: int,
     from dreamvla_tpu.train.optimizer import (build_lr_schedule,
                                               build_optimizer)
 
+    if create_fn is None:
+        create_fn = create_train_state
     sig = (f"train_state|{repr(tcfg)}|seed{seed}|"
            + "|".join(f"{k}:{np.asarray(v).shape}:{np.asarray(v).dtype}"
                       for k, v in sorted(batch.items())))
     params = cached_init(
         model,
-        lambda: create_train_state(model, tcfg, batch,
-                                   jax.random.PRNGKey(seed), total_steps,
-                                   steps_per_epoch)[0].params,
+        lambda: create_fn(model, tcfg, batch,
+                          jax.random.PRNGKey(seed), total_steps,
+                          steps_per_epoch)[0].params,
         sig)
     schedule = build_lr_schedule(
         tcfg.lr_scheduler, tcfg.learning_rate,

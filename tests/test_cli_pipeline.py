@@ -283,6 +283,21 @@ def test_cmd_train_pp_end_to_end(tmp_path, monkeypatch):
 
     monkeypatch.setitem(dvconfig.PRESETS, "tiny_test", tiny_with_text)
 
+    # serve the expensive full-model init from the test param cache — the
+    # routing under test (argv -> stage restack -> GPipe step -> ckpt) is
+    # downstream of init values
+    from dreamvla_tpu.parallel import train_step as dvts
+    from dreamvla_tpu.utils.testing import cached_train_state
+
+    orig_cts = dvts.create_train_state
+
+    def cached_cts(model, tcfg, batch, rng, total_steps, steps_per_epoch=1000):
+        del rng
+        return cached_train_state(model, tcfg, batch, 0, total_steps,
+                                  steps_per_epoch, create_fn=orig_cts)
+
+    monkeypatch.setattr(dvts, "create_train_state", cached_cts)
+
     root = tmp_path / "calvin" / "training"
     make_disk_calvin(str(root))
     parser = cli.build_parser()
