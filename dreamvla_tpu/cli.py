@@ -194,6 +194,11 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parallel_envs", type=int, default=1,
                    help="batched rollouts per host (one batched policy step "
                         "drives K simulators; big chunks/s/chip win)")
+    p.add_argument("--no_fused_trunk_train", dest="fused_trunk_train",
+                   action="store_const", const=False, default=None,
+                   help="disable the differentiable fused trunk kernels on "
+                        "training applies (ops.gpt2_fused_train); training "
+                        "then runs the unfused flash-attention path")
     p.add_argument("--int8_trunk_inference", action="store_const", const=True,
                    default=None,
                    help="quantize trunk weights to int8 (W8A8 fused kernel; "

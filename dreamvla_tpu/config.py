@@ -66,6 +66,11 @@ class DreamVLAConfig:
     # (ops.gpt2_fused; bf16-resolution-equal to the unfused path, float32-
     # oracle-anchored). Escape hatch for debugging / strict bit-parity runs.
     fused_trunk_inference: bool = True
+    # TPU-side: differentiable whole-block fused kernels for TRAINING trunk
+    # applies (ops.gpt2_fused_train; in-kernel hash-mask dropout + fused
+    # two-kernel backward under custom_vjp, gradients parity-tested against
+    # the unfused path). Escape hatch mirrors fused_trunk_inference.
+    fused_trunk_train: bool = True
     # TPU-side, opt-in: W8A8 int8 trunk matmuls inside the fused kernel
     # (2x MXU peak, half the weight traffic). Requires params pre-quantized
     # with ops.gpt2_fused.quantize_trunk_params; accuracy is a measured

@@ -361,12 +361,15 @@ class DreamVLA(nn.Module):
 
             perm = token_permutation(self.transformer_backbone.split)
             inv = np.argsort(perm)
-            # test mode never differentiates the trunk -> eligible for the
-            # whole-block fused kernel (ops.gpt2_fused, forward-only)
+            # whole-block fused kernels: forward-only in test mode
+            # (ops.gpt2_fused), differentiable with in-kernel dropout in
+            # training mode (ops.gpt2_fused_train)
+            fused = (cfg.fused_trunk_inference if not train
+                     else cfg.fused_trunk_train)
             x = self.transformer_backbone(
                 x[:, perm], bias=bias[perm][:, perm],
                 deterministic=not train,
-                fused=(mode == "test" and cfg.fused_trunk_inference),
+                fused=fused,
                 pipeline=trunk_pipeline)[:, inv]
         else:
             x = self.transformer_backbone(x, bias=bias,

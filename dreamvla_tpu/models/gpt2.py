@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -105,10 +106,13 @@ class GPT2Trunk(nn.Module):
                  fused: bool = False, pipeline=None):
         """inputs_embeds: (B, L, D); bias: optional (L, L) additive mask.
 
-        fused=True requests the whole-block Pallas kernel
-        (ops.gpt2_fused) — honoured only on deterministic TPU applies of a
-        role-split (token-reordered) trunk; the kernel has no backward, so
-        training paths must never pass it.
+        fused=True requests the whole-block Pallas kernels on TPU applies
+        of a role-split (token-reordered) trunk: deterministic applies use
+        the forward-only inference kernel (ops.gpt2_fused, optionally
+        int8); non-deterministic (training) applies use the differentiable
+        train kernels (ops.gpt2_fused_train — in-kernel dropout + fused
+        backward under custom_vjp). Off-TPU or on unsupported shapes the
+        unfused path runs instead.
 
         pipeline, when set, replaces the sequential block loop with a
         parallel apply over the raw trunk param subtree — pipeline-parallel
@@ -126,7 +130,7 @@ class GPT2Trunk(nn.Module):
                          deterministic, rng)
             return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                                 name="ln_f")(x)
-        if (fused and deterministic and not self.is_initializing()
+        if (fused and not self.is_initializing()
                 and bias is not None and self.split is not None):
             from dreamvla_tpu.ops.attention import is_tpu_backend
             from dreamvla_tpu.ops.gpt2_fused import (fused_gpt2_layers,
@@ -134,16 +138,35 @@ class GPT2Trunk(nn.Module):
 
             sp = self.split
             n_a, n_q = sp.k * sp.na, sp.k * (sp.na + sp.nobs)
+            quantized = isinstance(
+                self.variables["params"]["h_0"]["attn"]["c_attn"]["kernel"],
+                (tuple, list))
             if (is_tpu_backend() and supports_fused_trunk(
-                    x.shape[1], x.shape[2], self.num_heads, n_a, n_q)):
+                    x.shape[1], x.shape[2], self.num_heads, n_a, n_q)
+                    and (deterministic or not quantized)):
                 from dreamvla_tpu.ops.gpt2_fused import fused_gpt2_layers_int8
+                from dreamvla_tpu.ops.gpt2_fused_train import (
+                    fused_gpt2_train_layers)
 
                 bp = self.variables["params"]
                 blocks = [bp[f"h_{i}"] for i in range(self.num_layers)]
+                if not deterministic:
+                    # training apply: differentiable train kernels with
+                    # in-kernel hash-mask dropout (one fresh (2,) seed per
+                    # step via the module's dropout rng stream)
+                    if self.dropout > 0.0:
+                        seeds = jax.random.randint(
+                            self.make_rng("dropout"), (2,),
+                            jnp.iinfo(jnp.int32).min,
+                            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                    else:
+                        seeds = jnp.zeros((2,), jnp.int32)
+                    x = fused_gpt2_train_layers(
+                        x, tuple(blocks), bias, seeds, n_a, n_q,
+                        self.num_heads, self.ln_eps, self.dropout)
                 # quantize_trunk_params replaces each dense kernel with an
                 # (int8, scale) pair — dispatch on that shape
-                if isinstance(blocks[0]["attn"]["c_attn"]["kernel"],
-                              (tuple, list)):
+                elif quantized:
                     x = fused_gpt2_layers_int8(x, blocks, bias, n_a, n_q,
                                                self.num_heads,
                                                eps=self.ln_eps)
