@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--remat", action="store_true",
                     help="wrap trunk blocks in jax.checkpoint")
+    ap.add_argument("--no_fused_train", action="store_true",
+                    help="disable the fused train trunk kernels "
+                         "(cfg.fused_trunk_train) for an unfused A/B row")
     ap.add_argument("--only", choices=["fwd", "fwdbwd", "step"],
                     help="measure one program (default: all three, each in "
                          "a fresh subprocess to avoid cross-program OOM)")
@@ -52,6 +55,8 @@ def main():
                    "--repeats", str(args.repeats)]
             if args.remat:
                 cmd.append("--remat")
+            if args.no_fused_train:
+                cmd.append("--no_fused_train")
             subprocess.run(cmd, check=True)
         return
 
@@ -75,6 +80,8 @@ def main():
     cfg, tcfg = calvin_finetune()
     if args.remat:
         cfg = dataclasses.replace(cfg, remat=True)
+    if args.no_fused_train:
+        cfg = dataclasses.replace(cfg, fused_trunk_train=False)
     tcfg = dataclasses.replace(tcfg, batch_size=bs)
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=bs)
