@@ -199,6 +199,10 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
                    help="disable the differentiable fused trunk kernels on "
                         "training applies (ops.gpt2_fused_train); training "
                         "then runs the unfused flash-attention path")
+    p.add_argument("--no_fused_decoder_train", dest="fused_decoder_train",
+                   action="store_const", const=False, default=None,
+                   help="disable the differentiable fused ViT-block kernels "
+                        "in the dream decoders (ops.vit_fused_train)")
     p.add_argument("--int8_trunk_inference", action="store_const", const=True,
                    default=None,
                    help="quantize trunk weights to int8 (W8A8 fused kernel; "

@@ -71,6 +71,12 @@ class DreamVLAConfig:
     # two-kernel backward under custom_vjp, gradients parity-tested against
     # the unfused path). Escape hatch mirrors fused_trunk_inference.
     fused_trunk_train: bool = True
+    # TPU-side: differentiable whole-block fused kernels for the dream
+    # decoders' ViT blocks (ops.vit_fused_train; the decoders TRAIN, so
+    # these carry a fused backward — ~16 TFLOP of the bs-8 train step is
+    # decoder fwd+bwd, co-dominant with the trunk). Same escape-hatch
+    # convention as fused_trunk_train.
+    fused_decoder_train: bool = True
     # TPU-side, opt-in: W8A8 int8 trunk matmuls inside the fused kernel
     # (2x MXU peak, half the weight traffic). Requires params pre-quantized
     # with ops.gpt2_fused.quantize_trunk_params; accuracy is a measured

@@ -46,6 +46,10 @@ class ModalityDecoder(nn.Module):
     return_features: bool = False  # True: raw block outputs (DPT head input)
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    # TPU-side: run the 2-block stack through the differentiable fused
+    # whole-block kernels (ops.vit_fused_train — the decoders TRAIN, unlike
+    # the frozen encoder). cfg.fused_decoder_train is the escape hatch.
+    fused: bool = True
 
     @nn.compact
     def __call__(self, queries: jnp.ndarray) -> jnp.ndarray:
@@ -70,10 +74,18 @@ class ModalityDecoder(nn.Module):
                 axis=0,
             )
             x = x + jnp.asarray(table, x.dtype)[None]
-        for i in range(self.depth):
-            # reference decoders build timm Blocks with default LN eps (1e-5)
-            x = ViTBlock(self.num_heads, ln_eps=1e-5, dtype=self.dtype,
-                         use_pallas=self.use_pallas, name=f"blocks_{i}")(x)
+        if self._use_fused(x):
+            from dreamvla_tpu.ops.vit_fused_train import fused_vit_train_layers
+
+            bp = self.variables["params"]
+            blocks = tuple(bp[f"blocks_{i}"] for i in range(self.depth))
+            x = fused_vit_train_layers(x, blocks, self.num_heads, 1e-5)
+        else:
+            for i in range(self.depth):
+                # reference decoders build timm Blocks with default LN eps
+                # (1e-5)
+                x = ViTBlock(self.num_heads, ln_eps=1e-5, dtype=self.dtype,
+                             use_pallas=self.use_pallas, name=f"blocks_{i}")(x)
         if self.return_features:
             return x  # (N, num_query+num_mask, hidden) for the DPT head
         x = x[:, -self.num_mask_tokens:, :]
@@ -82,3 +94,18 @@ class ModalityDecoder(nn.Module):
         if self.relu_out:
             x = nn.relu(x)
         return x
+
+    def _use_fused(self, x) -> bool:
+        """Fused-block gate: TPU applies at supported shapes (differentiable
+        — train AND inference applies qualify, unlike the frozen-encoder
+        forward-only kernel). Init and CPU runs keep the plain block loop;
+        `fused=False` opts out (`use_pallas` only steers the unfused
+        blocks' attention, mirroring GPT2Trunk's gate)."""
+        if self.is_initializing() or not self.fused:
+            return False
+        from dreamvla_tpu.ops.attention import is_tpu_backend
+        from dreamvla_tpu.ops.vit_fused_train import supports_fused_train
+
+        return (is_tpu_backend()
+                and supports_fused_train(x.shape[0], x.shape[1], x.shape[2],
+                                         self.num_heads))

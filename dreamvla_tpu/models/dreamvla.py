@@ -158,10 +158,12 @@ class DreamVLA(nn.Module):
         # dream decoders ----------------------------------------------------
         per = cfg.num_obs_token_per_image
         q_in = h // 4 if cfg.share_query else h
+        fdec = cfg.fused_decoder_train
         if cfg.obs_pred:
             self.image_decoder = ModalityDecoder(
                 num_query_tokens=per, num_mask_tokens=cfg.num_mask_tokens,
-                out_dim=cfg.patch_size**2 * 3, hidden_dim=h, in_dim=q_in, dtype=dt)
+                out_dim=cfg.patch_size**2 * 3, hidden_dim=h, in_dim=q_in,
+                fused=fdec, dtype=dt)
         if cfg.depth_pred:
             if cfg.use_dpt_head:
                 from dreamvla_tpu.models.dpt_head import DPTHead
@@ -170,21 +172,22 @@ class DreamVLA(nn.Module):
                 self.depth_decoder = ModalityDecoder(
                     num_query_tokens=per, num_mask_tokens=256 * cfg.pred_num,
                     out_dim=cfg.patch_size**2, hidden_dim=h, in_dim=q_in,
-                    return_features=True, dtype=dt)
+                    return_features=True, fused=fdec, dtype=dt)
                 self.dpt_head = DPTHead(in_channels=h, dtype=dt)
             else:
                 self.depth_decoder = ModalityDecoder(
                     num_query_tokens=per, num_mask_tokens=cfg.num_mask_tokens,
                     out_dim=cfg.patch_size**2, hidden_dim=h, in_dim=q_in,
-                    relu_out=True, dtype=dt)
+                    relu_out=True, fused=fdec, dtype=dt)
         if cfg.dino_feat_pred:
             self.dino_decoder = ModalityDecoder(
                 num_query_tokens=per, num_mask_tokens=256 * cfg.pred_num,
-                out_dim=768, hidden_dim=h, in_dim=q_in, dtype=dt)
+                out_dim=768, hidden_dim=h, in_dim=q_in, fused=fdec, dtype=dt)
         if cfg.sam_feat_pred:
             self.sam_decoder = ModalityDecoder(
                 num_query_tokens=per, num_mask_tokens=256 * cfg.pred_num,
-                out_dim=256, hidden_dim=h, in_dim=q_in, sincos_pos=False, dtype=dt)
+                out_dim=256, hidden_dim=h, in_dim=q_in, sincos_pos=False,
+                fused=fdec, dtype=dt)
         if cfg.trajectory_pred:
             if cfg.no_unshuffle:
                 traj_masks = cfg.traj_grid**2 * cfg.pred_num
@@ -194,7 +197,7 @@ class DreamVLA(nn.Module):
                 traj_out = (cfg.patch_size // cfg.track_label_patch_size) ** 2 * 2
             self.traj_decoder = ModalityDecoder(
                 num_query_tokens=per, num_mask_tokens=traj_masks,
-                out_dim=traj_out, hidden_dim=h, in_dim=h, dtype=dt)
+                out_dim=traj_out, hidden_dim=h, in_dim=h, fused=fdec, dtype=dt)
 
         # action head --------------------------------------------------------
         if cfg.use_dit_head:

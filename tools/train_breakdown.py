@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--no_fused_train", action="store_true",
                     help="disable the fused train trunk kernels "
                          "(cfg.fused_trunk_train) for an unfused A/B row")
+    ap.add_argument("--no_fused_decoder", action="store_true",
+                    help="disable the fused decoder ViT-block kernels "
+                         "(cfg.fused_decoder_train) for an unfused A/B row")
     ap.add_argument("--only", choices=["fwd", "fwdbwd", "step"],
                     help="measure one program (default: all three, each in "
                          "a fresh subprocess to avoid cross-program OOM)")
@@ -57,6 +60,8 @@ def main():
                 cmd.append("--remat")
             if args.no_fused_train:
                 cmd.append("--no_fused_train")
+            if args.no_fused_decoder:
+                cmd.append("--no_fused_decoder")
             subprocess.run(cmd, check=True)
         return
 
@@ -82,6 +87,8 @@ def main():
         cfg = dataclasses.replace(cfg, remat=True)
     if args.no_fused_train:
         cfg = dataclasses.replace(cfg, fused_trunk_train=False)
+    if args.no_fused_decoder:
+        cfg = dataclasses.replace(cfg, fused_decoder_train=False)
     tcfg = dataclasses.replace(tcfg, batch_size=bs)
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=bs)
