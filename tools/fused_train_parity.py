@@ -21,6 +21,11 @@ the flagship trunk both ways and reports:
     unfused, N scan steps per dispatch / median of repeats, the bench.py
     methodology (tunnel RTT swamps per-dispatch timing).
 
+  --decoder — the same parity and (with --time) timing for the dream
+    decoders' fused ViT-block kernels (ops.vit_fused_train) at the
+    flagship decoder shape (B*S*views x 9+256 tokens x 1024): fused-bf16
+    vs unfused-bf16 grads vs an unfused f32 oracle.
+
 Measurement validity guards (same rationale as fused_action_parity.py):
   * asserts the backend is TPU — off-TPU both applies take the unfused
     path and every diff reads trivially 0;
@@ -75,16 +80,113 @@ def _err_table(g_ref, g_bf16, g_fused):
     return rows, worst
 
 
+def _decoder_main(args, bs):
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    assert jax.default_backend() == "tpu", (
+        f"backend is {jax.default_backend()!r}: run on chip")
+
+    from dreamvla_tpu.config import calvin_finetune
+    from dreamvla_tpu.models.decoders import ModalityDecoder
+
+    cfg, _ = calvin_finetune()
+    h, per = cfg.hidden_dim, cfg.num_obs_token_per_image
+    q_in = h // 4 if cfg.share_query else h
+    n = bs * cfg.sequence_length * 2
+    rng_np = np.random.default_rng(0)
+    q = jnp.asarray(rng_np.normal(size=(n, per, q_in)), jnp.float32)
+    w = None  # set per-decoder below
+
+    def build(dtype, fused):
+        return ModalityDecoder(
+            num_query_tokens=per, num_mask_tokens=cfg.num_mask_tokens,
+            out_dim=cfg.patch_size ** 2 * 3, hidden_dim=h, in_dim=q_in,
+            fused=fused, dtype=dtype)
+
+    dec32 = build(jnp.float32, False)
+    params = dec32.init(jax.random.PRNGKey(0), q)["params"]
+    out_shape = dec32.apply({"params": params}, q).shape
+    w = jnp.asarray(rng_np.normal(size=out_shape), jnp.float32)
+
+    def grads(dec):
+        def loss(p):
+            return jnp.sum(dec.apply({"params": p}, q).astype(jnp.float32)
+                           * w)
+        return jax.device_get(jax.jit(jax.grad(loss))(params))
+
+    if not args.time:
+        print("building f32 oracle grads...", flush=True)
+        go = grads(dec32)
+        print("building unfused bf16 grads...", flush=True)
+        gu = grads(build(jnp.bfloat16, False))
+        print("building fused bf16 grads (first Pallas compile may take "
+              "minutes)...", flush=True)
+        gf = grads(build(jnp.bfloat16, True))
+        same = all(jax.tree.leaves(jax.tree.map(
+            lambda a, b: bool(np.all(np.asarray(a, np.float32)
+                                     == np.asarray(b, np.float32))),
+            gu, gf)))
+        assert not same, ("unfused and fused grads BITWISE equal — the "
+                          "fused path did not engage")
+        rows, worst = _err_table(go, gu, gf)
+        print(f"\n{'param':44s} {'bf16-unfused':>13s} {'bf16-fused':>11s}")
+        for path, eb, ef in sorted(rows, key=lambda r: -r[2])[:12]:
+            print(f"{path:44s} {eb:13.3e} {ef:11.3e}")
+        print(f"\nworst fused/unfused oracle-error ratio: {worst:.2f}")
+        ok = worst < 3.0
+        print("PARITY " + ("OK" if ok else "FAIL"))
+        raise SystemExit(0 if ok else 1)
+
+    results = {}
+    for tag, fused in (("unfused", False), ("fused", True)):
+        dec = build(jnp.bfloat16, fused)
+
+        @jax.jit
+        def run(p, qq):
+            def step(acc, i):
+                def loss(pp):
+                    y = dec.apply({"params": pp},  # noqa: B023
+                                  qq + (i.astype(jnp.float32) * 1e-4))
+                    return jnp.sum(jnp.square(y.astype(jnp.float32)))
+                l, g = jax.value_and_grad(loss)(p)
+                return acc + l + optax.global_norm(g), None
+            acc, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(args.steps))
+            return acc
+
+        t0 = _time.time()
+        float(run(params, q))
+        print(f"{tag}: built (+{_time.time() - t0:.0f}s)", flush=True)
+        ts = []
+        for _ in range(args.repeats):
+            t0 = _time.perf_counter()
+            float(run(params, q))
+            ts.append((_time.perf_counter() - t0) / args.steps)
+        ms = float(np.median(ts)) * 1e3
+        results[tag] = ms
+        print(f"{tag}: one decoder fwd+bwd {ms:.2f} ms (N{n})", flush=True)
+    print(f"speedup: {results['unfused'] / results['fused']:.2f}x")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--time", action="store_true",
                     help="timing mode (p=0.1) instead of gradient parity")
+    ap.add_argument("--decoder", action="store_true",
+                    help="test the decoder ViT-block kernels instead of "
+                         "the trunk kernels")
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 2 for parity, 8 for --time")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
     bs = args.batch or (8 if args.time else 2)
+
+    if args.decoder:
+        return _decoder_main(args, bs)
 
     import jax
     import jax.numpy as jnp
