@@ -76,7 +76,7 @@ def main():
     from dreamvla_tpu.parallel.train_step import (build_train_step,
                                                   create_train_state,
                                                   make_loss_fn)
-    from dreamvla_tpu.utils.testing import add_accum_axis, make_synthetic_batch
+    from dreamvla_tpu.utils.testing import make_synthetic_batch
 
     assert jax.default_backend() == "tpu", (
         f"backend is {jax.default_backend()!r}; run this on the chip")
@@ -126,8 +126,10 @@ def main():
     @jax.jit
     def run_step(state, batch, rng):
         def body(st, i):
-            st, losses = step(st, add_accum_axis(perturb(batch, i), 1),
-                              jax.random.fold_in(rng, i))
+            # accum axis of 1 added in-trace (numpy add_accum_axis would
+            # choke on tracers inside the scan body)
+            micro = jax.tree.map(lambda v: v[None], perturb(batch, i))
+            st, losses = step(st, micro, jax.random.fold_in(rng, i))
             return st, losses.total
         st, tot = jax.lax.scan(body, state, jnp.arange(n))
         return st.step * 0 + jnp.sum(tot)
