@@ -26,6 +26,7 @@ Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/train_breakdown.py \
 from __future__ import annotations
 
 import argparse
+from functools import partial
 import subprocess
 import sys
 import time
@@ -123,7 +124,11 @@ def main():
 
     step = build_train_step(model, tcfg, tx, mesh=None, donate=False)
 
-    @jax.jit
+    # Donate the carried TrainState (and return it for the next dispatch):
+    # without donation XLA double-buffers the ~6.3 GB param+AdamW state and
+    # the fused bs-8 program misses HBM by a few MB. Matches real training,
+    # where the step donates its state.
+    @partial(jax.jit, donate_argnums=(0,))
     def run_step(state, batch, rng):
         def body(st, i):
             # accum axis of 1 added in-trace (numpy add_accum_axis would
@@ -132,7 +137,7 @@ def main():
             st, losses = step(st, micro, jax.random.fold_in(rng, i))
             return st, losses.total
         st, tot = jax.lax.scan(body, state, jnp.arange(n))
-        return st.step * 0 + jnp.sum(tot)
+        return st, jnp.sum(tot)
 
     def measure(tag, fn, *a):
         t0 = time.time()
@@ -148,6 +153,24 @@ def main():
               flush=True)
         return ms
 
+    def measure_step(tag):
+        # run_step donates + returns the state: thread it through repeats
+        # (float(tot) syncs each dispatch).
+        st = state
+        t0 = time.time()
+        st, tot = run_step(st, batch, rng)
+        float(tot)
+        print(f"{tag}: built (+{time.time() - t0:.0f}s)", flush=True)
+        ts = []
+        for r in range(args.repeats):
+            t0 = time.perf_counter()
+            st, tot = run_step(st, batch, rng)
+            float(tot)
+            ts.append((time.perf_counter() - t0) / n)
+        ms = float(np.median(ts)) * 1e3
+        print(f"{tag}: {ms:.1f} ms/step  ({bs / (ms / 1e3):.2f} samples/s)",
+              flush=True)
+
     rng = jax.random.PRNGKey(7)
     tag = {"fwd": "fwd       ", "fwdbwd": "fwd+bwd   ",
            "step": "full step "}[args.only]
@@ -156,7 +179,7 @@ def main():
     elif args.only == "fwdbwd":
         measure(tag, run_fwd_bwd, state.params, batch, rng)
     else:
-        measure(tag, run_step, state, batch, rng)
+        measure_step(tag)
 
 
 if __name__ == "__main__":
