@@ -37,6 +37,12 @@ CPU at these shapes, with the A100 figure derived as
 max(kernel-launch floor, FLOP floor at optimistic eager MFU) — both floors
 generous to the reference. Derivation inputs are recorded in BASELINE.json.
 
+Alongside the serving numbers, one TRAIN-step throughput point (bs-8 full
+step: fwd + 7-loss sum + bwd + clip + AdamW) is measured in a subprocess
+(tools/train_breakdown.py) and reported as train_samples_per_sec_per_chip
+against BASELINE.json.derived_train — best-effort, never allowed to cost
+the serving headline.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
@@ -245,6 +251,40 @@ def main():
     except Exception as e:  # pragma: no cover - device-side failures
         note(f"int8 point failed: {type(e).__name__}: {e}")
 
+    # Train-step throughput point (VERDICT r2 #4: record the train headline
+    # in the bench artifact, not just docs). Measured in a SUBPROCESS
+    # (tools/train_breakdown.py --only step): the serving executables +
+    # buffers already resident here would OOM the 16 GB chip alongside the
+    # ~6.3 GB train state, and a crash/timeout must never cost the serving
+    # headline. Skipped silently on timeout/failure; the baseline divisor is
+    # BASELINE.json.derived_train (A100 floor, tools/anchor_baseline.py
+    # --train).
+    train_sps = None
+    train_bs = 8
+    try:
+        import re
+        import subprocess
+        import sys as _sys
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        tool = os.path.join(root, "tools", "train_breakdown.py")
+        # APPEND to PYTHONPATH: clobbering it would drop this environment's
+        # sitecustomize dir and with it the TPU backend registration
+        env = dict(os.environ)
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [_sys.executable, tool, "--only", "step",
+             "--batch", str(train_bs), "--steps", "5", "--repeats", "3"],
+            timeout=900, capture_output=True, text=True, env=env)
+        m = re.search(r"\(([\d.]+) samples/s\)", proc.stdout)
+        if m:
+            train_sps = float(m.group(1))
+            note(f"train bs{train_bs} measured: {train_sps:.2f} samples/s")
+        else:
+            note(f"train point: no sample line (rc={proc.returncode})")
+    except Exception as e:  # pragma: no cover - device-side failures
+        note(f"train point failed: {type(e).__name__}: {e}")
+
     best_sb = max(serve, key=serve.get) if serve else None
     headline = max([bs1_chunks] + list(serve.values()))
     baseline = _baseline()
@@ -266,6 +306,18 @@ def main():
         out["int8_vs_baseline"] = round(int8_serve / baseline, 3)
     if int8_bs1 is not None:
         out["int8_bs1_latency_ms"] = round(int8_bs1 * 1e3, 3)
+    if train_sps is not None:
+        out["train_samples_per_sec_per_chip"] = round(train_sps, 3)
+        out["train_batch_size"] = train_bs
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BASELINE.json")) as f:
+                tb = float(json.load(f)["derived_train"]
+                           ["baseline_train_samples_per_sec"])
+            out["train_vs_baseline"] = round(train_sps / tb, 3)
+            out["train_baseline_samples_per_sec"] = tb
+        except Exception:
+            pass
     print(json.dumps(out))
 
 

@@ -55,6 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 from dreamvla_tpu.ops.attention import _COMPILER_PARAMS, _round_up
 from dreamvla_tpu.ops.gpt2_fused import (_gelu_tanh, _ln, build_role_biases)
 
+# The attention-half backward (grid (B,), whole-L recompute + f32 dWqkv/
+# dWproj accumulators) sits just over the 100 MB scoped-VMEM cap shared by
+# the other kernels when Mosaic schedules it inside the full train step
+# (measured 105.25 MB at lp=936/D=1024/H=16 on v5e, 2026-08-19). The chip
+# has 128 MB physical; give the train kernels their own 112 MB cap rather
+# than shrinking the fusion.
+try:
+    _TRAIN_COMPILER_PARAMS = pltpu.CompilerParams(
+        vmem_limit_bytes=112 * 1024 * 1024)
+except Exception:  # pragma: no cover - non-TPU installs
+    _TRAIN_COMPILER_PARAMS = _COMPILER_PARAMS
+
 _SUBLANE = 8
 _LANE = 128
 # odd mixing constants for per-(layer, batch) mask seeds (int32 wraparound)
@@ -410,7 +422,7 @@ def _fwd_impl(x, blocks, bias, seeds, n_a, n_q, num_heads, eps, p, interpret):
             out_shape=(jax.ShapeDtypeStruct((b, lp, d), cdt),
                        jax.ShapeDtypeStruct((b, lp, d), cdt)),
             interpret=interpret,
-            compiler_params=None if interpret else _COMPILER_PARAMS,
+            compiler_params=None if interpret else _TRAIN_COMPILER_PARAMS,
         )(xp, biasa, biasb, layer_seeds, *ops)
         xmids.append(xmid)
     return xp[:, :l], (tuple(xins), tuple(xmids))
@@ -449,7 +461,7 @@ def _bwd_impl(blocks, bias, seeds, xins, xmids, dy, n_a, n_q, num_heads,
                        jax.ShapeDtypeStruct((1, d), f32),
                        jax.ShapeDtypeStruct((1, d), f32)),
             interpret=interpret,
-            compiler_params=None if interpret else _COMPILER_PARAMS,
+            compiler_params=None if interpret else _TRAIN_COMPILER_PARAMS,
         )(xmids[i], dcur, layer_seeds, *ops[6:])
         bspec = pl.BlockSpec((1, lp, d), lambda i_: (i_, 0, 0))
         dcur, dwqkv, dbqkv, dwproj, dbproj, dl1s, dl1b = pl.pallas_call(
@@ -469,7 +481,7 @@ def _bwd_impl(blocks, bias, seeds, xins, xmids, dy, n_a, n_q, num_heads,
                        jax.ShapeDtypeStruct((1, d), f32),
                        jax.ShapeDtypeStruct((1, d), f32)),
             interpret=interpret,
-            compiler_params=None if interpret else _COMPILER_PARAMS,
+            compiler_params=None if interpret else _TRAIN_COMPILER_PARAMS,
         )(xins[i], dxmid, biasa, biasb, layer_seeds, *ops[:6])
         grads = {
             "ln_1": {"scale": dl1s[0], "bias": dl1b[0]},
