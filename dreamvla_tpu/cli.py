@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 import jax
 
@@ -144,7 +145,13 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
         p.add_argument(f"--{flag}", action="store_true")
     p.add_argument("--save_checkpoint_path", default="checkpoints/run")
     p.add_argument("--run_name", default="dreamvla_tpu")
-    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--resume_from_checkpoint", default=None,
+                   help="checkpoint dir / torch .pt(h) to resume from, or "
+                        "'auto': restore the latest checkpoint under "
+                        "<save_checkpoint_path>/<run_name> if one exists "
+                        "(start fresh otherwise) — makes restart-on-"
+                        "preemption loops safe (exceeds reference "
+                        "train.py:251-258, which needs an explicit path)")
     p.add_argument("--checkpoint_epoch", type=int, default=None,
                    help="evaluate a specific saved epoch instead of the "
                         "latest (reference eval scripts sweep 26..39)")
@@ -379,7 +386,14 @@ def cmd_train(args) -> None:
                            opt_state=tx.init(params_pp))
 
     resume_epoch = 0
-    if args.resume_from_checkpoint:
+    if args.resume_from_checkpoint == "auto":
+        # elastic/preemption-safe: resume this run's latest checkpoint when
+        # present (mid-epoch ones included via --save_every_iter), start
+        # fresh when not — restore_checkpoint handles the empty-dir case
+        auto_dir = f"{args.save_checkpoint_path}/{args.run_name}"
+        if os.path.isdir(auto_dir):
+            state, resume_epoch = restore_checkpoint(auto_dir, state)
+    elif args.resume_from_checkpoint:
         state, resume_epoch = restore_checkpoint(args.resume_from_checkpoint,
                                                  state)
 

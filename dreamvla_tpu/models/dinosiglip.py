@@ -172,7 +172,21 @@ def import_timm_vit(sd, depth: int, layerscale: bool = False,
         im.raw("cls_token", ("cls_token",))
     if "reg_token" in sd:
         im.raw("reg_token", ("reg_token",))
-    im.raw("pos_embed", ("pos_embed",))
+    pe = im.take("pos_embed")
+    if pe is not None:
+        import numpy as np
+
+        # timm's reg4-dinov2 configs use no_embed_class: pos_embed covers
+        # the patch grid only (a perfect-square row count) and the cls
+        # row's position is pre-folded into cls_token by the checkpoint
+        # conversion. TimmViT computes cls + pos[:, :1], so prepend a zero
+        # row — mathematically identical. HF-style dicts (grid**2 + 1 rows,
+        # never a perfect square) pass through unchanged.
+        n_tok = pe.shape[1]
+        r = int(round(n_tok ** 0.5))
+        if "cls_token" in sd and r * r == n_tok:
+            pe = np.concatenate([np.zeros_like(pe[:, :1]), pe], axis=1)
+        im.assign(("pos_embed",), pe)
     last = (out_block if out_block is not None else depth - 2)
     for i in range(last + 1):
         tp, p = f"blocks.{i}", (f"blocks_{i}",)

@@ -314,7 +314,7 @@ class ActionDiffusionHead:
         )
 
     # -- training ---------------------------------------------------------
-    def loss(self, dit_call, x, z, rng):
+    def loss(self, dit_call, x, z, rng, noise=None, t=None):
         """Mean MSE diffusion (or FM) loss; x: (N,T,C) actions, z: (N,T,Z).
 
         dit_call(x_t, t, z, drop_rng) -> prediction, running the DiT in train
@@ -322,14 +322,22 @@ class ActionDiffusionHead:
         `repeated_diffusion_steps`x with fresh timesteps
         (dreamvla_model.py:930-933); we draw that many independent (noise, t)
         pairs per element via a leading repeat, identical in expectation.
+
+        noise/t: explicit (N*reps, T, C) noise and (N*reps,) integer
+        timesteps, overriding the rng draws — used by the reference-parity
+        tests to feed BOTH frameworks identical randomness
+        (action_model.py:59-60 draws them with torch RNG).
         """
         reps = self.cfg.repeated_diffusion_steps
         x = jnp.tile(x, (reps, 1, 1))
         z = jnp.tile(z, (reps, 1, 1))
         n = x.shape[0]
         r_noise, r_t, r_drop = jax.random.split(rng, 3)
-        noise = jax.random.normal(r_noise, x.shape, x.dtype)
-        t = jax.random.randint(r_t, (n,), 0, self.schedule.num_timesteps)
+        if noise is None:
+            noise = jax.random.normal(r_noise, x.shape, x.dtype)
+        if t is None:
+            t = jax.random.randint(r_t, (n,), 0, self.schedule.num_timesteps)
+        t = jnp.asarray(t)
         if self.cfg.flow_matching:
             t = t.astype(jnp.float32) / self.schedule.num_timesteps
             x_t = t[:, None, None] * x + (1 - t[:, None, None]) * noise
@@ -341,7 +349,7 @@ class ActionDiffusionHead:
 
     # -- inference --------------------------------------------------------
     def sample(self, params, z, rng, use_ddim: bool = True,
-               noise_rows=None, noise_n: int = 0):
+               noise_rows=None, noise_n: int = 0, noise=None):
         """DDIM/DDPM/FM sampling. params: the DiT param subtree; z: (N, T, Z)
         trunk condition tokens. Returns (N, T, in_channels).
 
@@ -350,12 +358,22 @@ class ActionDiffusionHead:
         only selected positions stay bit-identical to an all-positions
         sample of the same rng (the DDIM/FM loops are deterministic given
         the initial noise) — see eval/policy.py trunk_step.
+
+        noise: explicit (N, T, C) initial noise overriding the rng draw —
+        used by the reference-parity tests to feed BOTH frameworks the same
+        torch.randn draw (dreamvla_model.py:944); the DDIM loop at eta=0 is
+        deterministic given it. Mutually exclusive with noise_rows.
         """
+        if noise is not None and noise_rows is not None:
+            raise ValueError("pass either noise or noise_rows, not both")
         n, t_len, _ = z.shape
         c = self.cfg.in_channels
         r_noise, r_loop = jax.random.split(rng)
 
         def draw(r, lead):
+            if noise is not None:
+                x = jnp.asarray(noise, jnp.float32)
+                return jnp.concatenate([x, x], axis=0) if lead == 2 else x
             if noise_rows is None:
                 return jax.random.normal(r, (lead * n, t_len, c), jnp.float32)
             x = jax.random.normal(r, (lead * noise_n, t_len, c), jnp.float32)
@@ -388,13 +406,15 @@ class ActionDiffusionHead:
             out = flow_matching_sample_loop(
                 lambda x, t: apply_cfg(x, t, z_full, 1.0),
                 self.schedule.num_timesteps, (2 * n, t_len, c), r_loop,
-                x0=draw(r_loop, 2) if noise_rows is not None else None,
+                x0=(draw(r_loop, 2)
+                    if (noise_rows is not None or noise is not None)
+                    else None),
             )
             return out[:n]
 
-        noise = draw(r_noise, 1)
+        x0 = draw(r_noise, 1)
         if self.cfg.cfg_scale > 1.0:
-            noise2 = jnp.concatenate([noise, noise], axis=0)
+            noise2 = jnp.concatenate([x0, x0], axis=0)
             uncond = jnp.broadcast_to(
                 params["uncondition"].astype(z.dtype), (n, t_len, z.shape[-1])
             )
@@ -405,7 +425,7 @@ class ActionDiffusionHead:
             )
             return jnp.split(samples, 2, axis=0)[0]
         if use_ddim:
-            return ddim_sample_loop(apply, self.ddim_schedule, noise)
+            return ddim_sample_loop(apply, self.ddim_schedule, x0)
         # DDPM draws fresh per-step noise at batch n inside the loop, so the
         # row-sliced-initial-noise parity trick (noise_rows) does not extend
         # to this branch — it only holds for the deterministic DDIM/FM loops.
@@ -413,4 +433,4 @@ class ActionDiffusionHead:
             raise ValueError(
                 "noise_rows bit-parity is only defined for use_ddim=True or "
                 "flow_matching; DDPM per-step noise is drawn at batch n")
-        return p_sample_loop(apply, self.schedule, noise, r_loop)
+        return p_sample_loop(apply, self.schedule, x0, r_loop)

@@ -32,12 +32,18 @@ def _manager(ckpt_dir: str) -> ocp.CheckpointManager:
 
 def save_checkpoint(ckpt_dir: str, epoch: int, state,
                     strip_frozen: bool = True,
-                    delete_previous: bool = False) -> None:
+                    delete_previous: bool = False,
+                    mid_epoch: bool = False) -> None:
+    """The payload's `epoch` field records the last COMPLETED epoch: an
+    end-of-epoch save records `epoch`, a mid-epoch (preemption-safe) save
+    records `epoch - 1` so an auto-resume re-enters the interrupted epoch
+    instead of skipping its remainder (restore returns epoch + 1)."""
     params = dict(state.params)
     if strip_frozen:
         params = {k: v for k, v in params.items() if k not in FROZEN_SUBTREES}
+    completed = epoch - 1 if mid_epoch else epoch
     payload = {"params": params, "opt_state": state.opt_state,
-               "step": state.step, "epoch": np.zeros((), np.int32) + epoch}
+               "step": state.step, "epoch": np.zeros((), np.int32) + completed}
     with _manager(ckpt_dir) as mgr:
         mgr.save(epoch, args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()

@@ -84,7 +84,8 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
             # --save_every_iter but never acts on it)
             from dreamvla_tpu.train.checkpoints import save_checkpoint
 
-            save_checkpoint(ckpt_dir, epoch, state, delete_previous=True)
+            save_checkpoint(ckpt_dir, epoch, state, delete_previous=True,
+                            mid_epoch=True)
         if logger is not None and i % log_every == 0:
             # each process's loader yields batch_size samples per step and
             # device_batch SPLITS (not replicates) them into accum

@@ -5,14 +5,24 @@ import os
 # Force CPU: the ambient environment routes JAX to the 'axon' TPU tunnel —
 # and its sitecustomize sets jax.config.jax_platforms *programmatically*
 # (beating env vars), so the config update below is the one that sticks.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+#
+# DREAMVLA_TPU_TESTS=1 opts OUT of the CPU pin: the suite then runs on the
+# ambient (axon TPU) backend so on-chip-only tests (int8 serving path,
+# Pallas kernels) execute for real. CPU-suite tests that require the
+# 8-device mesh guard themselves; TPU-only tests skip on the CPU suite via
+# `jax.default_backend() != "tpu"`.
+_TPU_TESTS = os.environ.get("DREAMVLA_TPU_TESTS") == "1"
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 # Golden tests compare against fp32 torch oracles; the environment's default
 # matmul precision is bf16-class even on CPU, so pin it for tests only.
 jax.config.update("jax_default_matmul_precision", "highest")
@@ -22,13 +32,16 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # XLA compile time; a warm cache cuts the CPU suite severalfold.
 _cache_dir = os.environ.get(
     "DREAMVLA_TEST_COMPILE_CACHE",
-    os.path.join(os.path.dirname(__file__), ".jax_compile_cache"))
+    os.path.join(os.path.dirname(__file__),
+                 ".jax_compile_cache_tpu" if _TPU_TESTS
+                 else ".jax_compile_cache"))
 if _cache_dir != "off":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
-    "tests must run on the 8-device virtual CPU mesh")
+if not _TPU_TESTS:
+    assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
+        "tests must run on the 8-device virtual CPU mesh")
 
 # Init-params disk cache (same idea as the compile cache above: full-model
 # init traces ~20-30 s per config on this 1-core host). Keyed by a hash of

@@ -76,3 +76,20 @@ def test_finetune_surgery_resets_and_truncates():
     np.testing.assert_allclose(
         np.asarray(merged["transformer_backbone"]["h_0"]["ln_1"]["scale"]),
         np.asarray(pre["transformer_backbone"]["h_0"]["ln_1"]["scale"]))
+
+
+def test_mid_epoch_save_resumes_same_epoch(tmp_path):
+    """Preemption-safety: a --save_every_iter checkpoint written DURING
+    epoch 3 must make auto-resume re-enter epoch 3 (records last COMPLETED
+    epoch = 2), not skip its remainder; step/opt continuity preserved."""
+    cfg, tcfg = tiny_test()
+    state = make_state(cfg, tcfg)
+    state = state.replace(step=jnp.asarray(41, jnp.int32))
+    save_checkpoint(str(tmp_path), epoch=3, state=state, mid_epoch=True)
+    fresh = make_state(cfg, tcfg, seed=1)
+    restored, resume_epoch = restore_checkpoint(str(tmp_path), fresh)
+    assert resume_epoch == 3  # the interrupted epoch, not 4
+    assert int(restored.step) == 41
+    np.testing.assert_allclose(
+        np.asarray(restored.params["text_projector"]["kernel"]),
+        np.asarray(state.params["text_projector"]["kernel"]))

@@ -314,3 +314,75 @@ def test_cmd_train_pp_end_to_end(tmp_path, monkeypatch):
 
     with ocp.CheckpointManager(str(tmp_path / "ck" / "pp_smoke")) as mgr:
         assert mgr.all_steps() == [0]
+
+
+def test_cmd_train_auto_resume_kill_restart(tmp_path, monkeypatch):
+    """Elastic loop: train 1 epoch + checkpoint, 'restart the job' with
+    --resume_from_checkpoint auto and a bigger epoch budget, and assert
+    the rebuilt process resumes AFTER the completed epoch (exactly one new
+    epoch runs) with step continuity in the written checkpoints."""
+    import dataclasses
+
+    from dreamvla_tpu import config as dvconfig
+    from dreamvla_tpu.utils.testing import make_disk_calvin
+
+    def tiny_with_text():
+        cfg, tcfg = dvconfig.tiny_test()
+        return dataclasses.replace(cfg, include_text_encoder=True), tcfg
+
+    monkeypatch.setitem(dvconfig.PRESETS, "tiny_test", tiny_with_text)
+
+    from dreamvla_tpu.parallel import train_step as dvts
+    from dreamvla_tpu.utils.testing import cached_train_state
+
+    orig_cts = dvts.create_train_state
+
+    def cached_cts(model, tcfg, batch, rng, total_steps, steps_per_epoch=1000):
+        del rng
+        return cached_train_state(model, tcfg, batch, 0, total_steps,
+                                  steps_per_epoch, create_fn=orig_cts)
+
+    monkeypatch.setattr(dvts, "create_train_state", cached_cts)
+
+    from dreamvla_tpu.train import loop as dvloop
+
+    epochs_run = []
+    orig_epoch = dvloop.train_one_epoch
+
+    def counting_epoch(model, tcfg, state, step_fn, data_info, epoch, *a,
+                       **kw):
+        epochs_run.append(epoch)
+        return orig_epoch(model, tcfg, state, step_fn, data_info, epoch,
+                          *a, **kw)
+
+    # cmd_train does `from dreamvla_tpu.train.loop import train_one_epoch`
+    # at call time, so patch the loop module, not cli
+    monkeypatch.setattr(dvloop, "train_one_epoch", counting_epoch)
+
+    root = tmp_path / "calvin" / "training"
+    make_disk_calvin(str(root))
+    base = ["train", "--preset", "tiny_test",
+            "--calvin_dataset", str(tmp_path / "calvin"),
+            "--batch_size", "8", "--workers", "1",
+            "--save_checkpoint", "--save_checkpoint_path",
+            str(tmp_path / "ck"), "--run_name", "elastic",
+            "--resume_from_checkpoint", "auto"]
+    parser = cli.build_parser()
+
+    # run 1: 'auto' with no checkpoint yet -> starts fresh, completes epoch 0
+    cli.cmd_train(parser.parse_args(base + ["--num_epochs", "1"]))
+    assert epochs_run == [0]
+
+    # 'preemption': process gone; run 2 rebuilds everything and resumes
+    epochs_run.clear()
+    cli.cmd_train(parser.parse_args(base + ["--num_epochs", "2"]))
+    assert epochs_run == [1]  # epoch 0 not re-run
+
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(tmp_path / "ck" / "elastic")) as mgr:
+        assert sorted(mgr.all_steps()) == [0, 1]
+        p0 = mgr.restore(0)
+        p1 = mgr.restore(1)
+    assert int(p1["epoch"]) == 1
+    assert int(p1["step"]) == 2 * int(p0["step"]) > 0

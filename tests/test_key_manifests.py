@@ -1,0 +1,106 @@
+"""Released-checkpoint key manifests: importers must consume them exactly.
+
+VERDICT r3 #7 insurance: the DinoSigLIP / DPT / CoTracker importers'
+forward MATH is oracle-tested (test_dinosiglip_oracle, test_dpt_oracle,
+test_cotracker3), but the released checkpoints can't be downloaded here,
+so checkpoint key SPELLING was the remaining exposure. The committed
+manifests (assets/key_manifests/*.json, provenance in
+tools/gen_key_manifests.py) freeze the expected key set of each released
+checkpoint; these tests feed shape-true zero dicts to the importers and
+require zero missing / zero unexpected keys — any spelling drift in an
+importer now fails CI. The DPT and CoTracker manifests are additionally
+regenerated live from their offline ground-truth models and compared
+against the committed copies, so the manifests themselves cannot rot.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAN_DIR = os.path.join(ROOT, "assets", "key_manifests")
+
+
+def _load(name):
+    with open(os.path.join(MAN_DIR, f"{name}.json")) as f:
+        m = json.load(f)
+    return {k: np.zeros(tuple(v), np.float32) for k, v in m["keys"].items()}
+
+
+def test_dinov2_manifest_consumed_exactly():
+    from dreamvla_tpu.models.dinosiglip import import_timm_vit
+
+    sd = _load("dinov2_vitl14_reg4")
+    params, missing, unexpected = import_timm_vit(sd, depth=24,
+                                                  layerscale=True)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+    # no_embed_class layout (1369 patch rows): importer prepends the zero
+    # cls row TimmViT's cls + pos[:, :1] expects
+    assert params["pos_embed"].shape == (1, 1370, 1024)
+
+
+def test_siglip_manifest_consumed_exactly():
+    from dreamvla_tpu.models.dinosiglip import import_timm_vit
+
+    sd = _load("siglip_so400m_224")
+    params, missing, unexpected = import_timm_vit(sd, depth=27)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+    assert params["pos_embed"].shape == (1, 256, 1152)  # no cls: unchanged
+
+
+def test_dpt_manifest_consumed_exactly_and_fresh():
+    from dreamvla_tpu.models.dpt_head import import_dpt_head
+
+    sd = _load("depth_anything_v2_vits_depth_head")
+    params, missing, unexpected = import_dpt_head(
+        {k[len("depth_head."):]: v for k, v in sd.items()})
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+
+    # regenerate from the HF ground truth and compare key-for-key
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    from transformers import (DepthAnythingConfig,
+                              DepthAnythingForDepthEstimation, Dinov2Config)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_dpt_oracle import _hf_to_da2
+
+    cfg = DepthAnythingConfig(
+        backbone_config=Dinov2Config(hidden_size=384, num_hidden_layers=1,
+                                     num_attention_heads=6, patch_size=14),
+        reassemble_hidden_size=384, neck_hidden_sizes=[48, 96, 192, 384],
+        fusion_hidden_size=64, head_hidden_size=32, patch_size=14,
+        depth_estimation_type="metric", max_depth=20.0)
+    with torch.no_grad():
+        hf = DepthAnythingForDepthEstimation(cfg)
+    fresh = {k: tuple(v.shape) for k, v in _hf_to_da2(hf).items()}
+    assert {k: v.shape for k, v in sd.items()} == {
+        k: tuple(s) for k, s in fresh.items()}
+
+
+def test_cotracker_manifest_consumed_exactly_and_fresh():
+    torch = pytest.importorskip("torch")
+
+    from dreamvla_tpu.extract.cotracker3 import (CoTracker3Config,
+                                                 import_cotracker3)
+
+    sd = _load("cotracker3_offline")
+    variables, missing, unexpected = import_cotracker3(sd)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+    # the released checkpoint's real "virual_tracks" spelling is present
+    assert "updateformer.virual_tracks" in sd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cotracker3 import TCoTracker3Offline
+
+    model = TCoTracker3Offline(CoTracker3Config())
+    # the replica already carries the checkpoint's "virual_tracks" spelling
+    fresh = {k: tuple(v.shape) for k, v in model.state_dict().items()}
+    assert {k: v.shape for k, v in sd.items()} == fresh
