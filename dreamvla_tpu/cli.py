@@ -270,6 +270,17 @@ def _load_pretrained_encoders(mcfg, params, args):
     return params
 
 
+def _replicate_state(state, mesh):
+    """Pin the TrainState to a replicated sharding on `mesh`.
+
+    Freshly-initialised arrays are uncommitted and jit auto-replicates
+    them, but orbax-RESTORED arrays are committed to one device — without
+    this, resuming under the shard_map'ed dp/sp step fails with
+    'incompatible devices' (caught by the auto-resume kill/restart test)."""
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+
 def cmd_train(args) -> None:
     from dreamvla_tpu.data.calvin import get_calvin_dataset
     from dreamvla_tpu.data.libero import get_libero_dataset
@@ -420,9 +431,11 @@ def cmd_train(args) -> None:
                                               make_sp_mesh)
 
         mesh = make_sp_mesh(max(n_local // args.sp, 1), args.sp)
+        state = _replicate_state(state, mesh)
         step_fn = build_sp_train_step(model, tcfg, tx, mesh)
     else:
         mesh = make_mesh(("dp",))
+        state = _replicate_state(state, mesh)
         step_fn = build_train_step(model, tcfg, tx, mesh=mesh)
     logger = MetricLogger(args.report_to_wandb, args.wandb_project,
                           args.run_name) if rank == 0 else None
@@ -431,6 +444,9 @@ def cmd_train(args) -> None:
         val_data = get_calvin_dataset(args.calvin_dataset, validation=True,
                                       image_size=mcfg.image_size, **common)
     rng = jax.random.PRNGKey(tcfg.seed + rank)
+    from dreamvla_tpu.train.loop import install_preemption_handler, preempted
+
+    install_preemption_handler()
     for epoch in range(resume_epoch, tcfg.num_epochs):
         state, _ = train_one_epoch(model, tcfg, state, step_fn, data, epoch,
                                    rng, mesh=mesh, logger=logger,
@@ -439,6 +455,12 @@ def cmd_train(args) -> None:
                                    ckpt_dir=f"{args.save_checkpoint_path}/"
                                             f"{args.run_name}",
                                    is_saver=rank == 0)
+        if preempted():
+            # the loop already wrote a mid-epoch checkpoint; stop cleanly
+            # (restart with --resume_from_checkpoint auto re-enters here)
+            print(f"preempted during epoch {epoch}; checkpoint saved, "
+                  "exiting", flush=True)
+            return
         if val_data is not None and rank == 0:
             from dreamvla_tpu.eval.offline import evaluate_open_loop
 

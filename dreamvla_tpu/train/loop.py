@@ -10,6 +10,8 @@ compiled program from `parallel.train_step`.
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Dict, Optional
 
@@ -20,6 +22,25 @@ import numpy as np
 from dreamvla_tpu.config import DreamVLAConfig, TrainConfig
 from dreamvla_tpu.parallel.mesh import shard_batch
 from dreamvla_tpu.utils.logging import AverageMeter, MetricLogger
+
+
+# Preemption flag: TPU pods deliver SIGTERM ahead of eviction. The handler
+# only sets this event; the epoch loop checks it at the next step boundary,
+# writes a mid-epoch checkpoint and returns cleanly, and cmd_train stops —
+# together with `--resume_from_checkpoint auto` the train CLI survives
+# kill/restart cycles losing at most the in-flight step.
+_PREEMPTED = threading.Event()
+
+
+def install_preemption_handler() -> threading.Event:
+    """Route SIGTERM to the preemption event. Returns the event (tests set
+    and clear it directly)."""
+    signal.signal(signal.SIGTERM, lambda signum, frame: _PREEMPTED.set())
+    return _PREEMPTED
+
+
+def preempted() -> bool:
+    return _PREEMPTED.is_set()
 
 
 def device_batch(batch: Dict[str, np.ndarray], accum: int) -> Dict:
@@ -86,6 +107,15 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
 
             save_checkpoint(ckpt_dir, epoch, state, delete_previous=True,
                             mid_epoch=True)
+        if _PREEMPTED.is_set():
+            if ckpt_dir and is_saver:
+                from dreamvla_tpu.train.checkpoints import save_checkpoint
+
+                save_checkpoint(ckpt_dir, epoch, state, delete_previous=True,
+                                mid_epoch=True)
+            if profiling:
+                jax.profiler.stop_trace()
+            return state, losses
         if logger is not None and i % log_every == 0:
             # each process's loader yields batch_size samples per step and
             # device_batch SPLITS (not replicates) them into accum

@@ -112,3 +112,30 @@ def test_panels_build(loop_setup, tmp_path):
     import os
 
     assert len(os.listdir(tmp_path / "p")) == len(panels)
+
+
+def test_preemption_saves_and_stops(loop_setup, tmp_path):
+    """SIGTERM preemption: the epoch loop finishes the in-flight step,
+    writes a mid-epoch checkpoint, and returns early; auto-resume then
+    re-enters the SAME epoch (last-completed semantics)."""
+    from dreamvla_tpu.train import loop as dvloop
+    from dreamvla_tpu.train.checkpoints import restore_checkpoint
+
+    cfg, tcfg, model, data, _, state, tx = loop_setup
+    mesh = make_mesh(("dp",))
+    step = build_train_step(model, tcfg, tx, mesh=mesh, donate=False)
+    ev = dvloop.install_preemption_handler()
+    ev.set()  # "SIGTERM already delivered" before the first step boundary
+    try:
+        state2, _ = train_one_epoch(
+            model, tcfg, state, step, data, epoch=3,
+            rng=jax.random.PRNGKey(1), mesh=mesh,
+            ckpt_dir=str(tmp_path / "ck"), is_saver=True)
+    finally:
+        ev.clear()
+    # exactly one step ran before the boundary check fired
+    assert int(state2.step) == int(state.step) + 1
+    assert data.dataloader.num_batches > 1  # it genuinely stopped early
+    restored, resume_epoch = restore_checkpoint(str(tmp_path / "ck"), state)
+    assert resume_epoch == 3  # re-enter the interrupted epoch
+    assert int(restored.step) == int(state2.step)

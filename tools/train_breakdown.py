@@ -37,6 +37,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="in-graph micro-batch accumulation: the full step "
+                         "runs --batch samples as --accum micro-batches of "
+                         "batch/accum through the lax.scan accumulator "
+                         "(parallel/train_step.accumulate_grads) — the "
+                         "route to a bs-16 point past the bs-16 "
+                         "single-dispatch compile crash")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--remat", action="store_true",
@@ -56,7 +63,8 @@ def main():
         for tag in ("fwd", "fwdbwd", "step"):
             cmd = [sys.executable, __file__, "--only", tag,
                    "--batch", str(args.batch), "--steps", str(args.steps),
-                   "--repeats", str(args.repeats)]
+                   "--repeats", str(args.repeats),
+                   "--accum", str(args.accum)]
             if args.remat:
                 cmd.append("--remat")
             if args.no_fused_train:
@@ -131,9 +139,13 @@ def main():
     @partial(jax.jit, donate_argnums=(0,))
     def run_step(state, batch, rng):
         def body(st, i):
-            # accum axis of 1 added in-trace (numpy add_accum_axis would
-            # choke on tracers inside the scan body)
-            micro = jax.tree.map(lambda v: v[None], perturb(batch, i))
+            # accum axis added in-trace (numpy add_accum_axis would choke
+            # on tracers inside the scan body): (B, ...) ->
+            # (accum, B/accum, ...) micro-batches for accumulate_grads
+            micro = jax.tree.map(
+                lambda v: v.reshape((args.accum, v.shape[0] // args.accum)
+                                    + v.shape[1:]),
+                perturb(batch, i))
             st, losses = step(st, micro, jax.random.fold_in(rng, i))
             return st, losses.total
         st, tot = jax.lax.scan(body, state, jnp.arange(n))
