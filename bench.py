@@ -236,6 +236,10 @@ def main():
     atexit.register(_flush_on_exit)
     _device_watchdog()
 
+    from dreamvla_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -785,6 +785,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from dreamvla_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     {"train": cmd_train, "eval_calvin": cmd_eval_calvin,
      "eval_libero": cmd_eval_libero,

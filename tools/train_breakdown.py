@@ -76,6 +76,10 @@ def main():
 
     import dataclasses
 
+    from dreamvla_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import optax
