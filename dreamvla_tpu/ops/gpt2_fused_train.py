@@ -59,8 +59,9 @@ from dreamvla_tpu.ops.gpt2_fused import (_gelu_tanh, _ln, build_role_biases)
 # dWproj accumulators) sits just over the 100 MB scoped-VMEM cap shared by
 # the other kernels when Mosaic schedules it inside the full train step
 # (measured 105.25 MB at lp=936/D=1024/H=16 on v5e, 2026-08-19). The chip
-# has 128 MB physical; give the train kernels their own 112 MB cap rather
-# than shrinking the fusion.
+# has 128 MB physical; give THAT kernel its own 112 MB cap rather than
+# shrinking the fusion. The forward and MLP-half kernels fit under the
+# shared 100 MB cap and keep it (headroom for Mosaic double-buffering).
 try:
     _TRAIN_COMPILER_PARAMS = pltpu.CompilerParams(
         vmem_limit_bytes=112 * 1024 * 1024)
@@ -422,7 +423,8 @@ def _fwd_impl(x, blocks, bias, seeds, n_a, n_q, num_heads, eps, p, interpret):
             out_shape=(jax.ShapeDtypeStruct((b, lp, d), cdt),
                        jax.ShapeDtypeStruct((b, lp, d), cdt)),
             interpret=interpret,
-            compiler_params=None if interpret else _TRAIN_COMPILER_PARAMS,
+            # fits under the shared 100 MB cap; keep Mosaic's headroom
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(xp, biasa, biasb, layer_seeds, *ops)
         xmids.append(xmid)
     return xp[:, :l], (tuple(xins), tuple(xmids))
@@ -461,7 +463,8 @@ def _bwd_impl(blocks, bias, seeds, xins, xmids, dy, n_a, n_q, num_heads,
                        jax.ShapeDtypeStruct((1, d), f32),
                        jax.ShapeDtypeStruct((1, d), f32)),
             interpret=interpret,
-            compiler_params=None if interpret else _TRAIN_COMPILER_PARAMS,
+            # fits under the shared 100 MB cap; keep Mosaic's headroom
+            compiler_params=None if interpret else _COMPILER_PARAMS,
         )(xmids[i], dcur, layer_seeds, *ops[6:])
         bspec = pl.BlockSpec((1, lp, d), lambda i_: (i_, 0, 0))
         dcur, dwqkv, dbqkv, dwproj, dbproj, dl1s, dl1b = pl.pallas_call(
