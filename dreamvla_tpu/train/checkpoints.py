@@ -45,8 +45,21 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state,
     payload = {"params": params, "opt_state": state.opt_state,
                "step": state.step, "epoch": np.zeros((), np.int32) + completed}
     with _manager(ckpt_dir) as mgr:
-        mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        # orbax CheckpointManager.save() at an EXISTING step silently
+        # returns False (verified on orbax 0.11.32): without this delete,
+        # every save after the first within an epoch (mid-epoch
+        # --save_every_iter, SIGTERM preemption, end-of-epoch) would be
+        # dropped and auto-resume would restore stale state. Delete the
+        # stale step first, then require the save to have been accepted.
+        if epoch in mgr.all_steps():
+            mgr.delete(epoch)
+        saved = mgr.save(epoch, args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
+        if not saved:
+            raise RuntimeError(
+                f"orbax rejected checkpoint save at step {epoch} in "
+                f"{ckpt_dir}; refusing to continue with a silently "
+                f"dropped checkpoint")
         if delete_previous:
             for old in [s for s in mgr.all_steps() if s < epoch]:
                 mgr.delete(old)

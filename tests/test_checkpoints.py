@@ -53,6 +53,36 @@ def test_delete_previous_retention(tmp_path):
         assert mgr.all_steps() == [1]  # previous deleted, newest kept
 
 
+def test_resave_same_epoch_keeps_latest_state(tmp_path):
+    """Regression (advisor r4, high): orbax CheckpointManager.save() at an
+    existing step silently returns False, so without the delete-before-save
+    in save_checkpoint the SECOND save of an epoch (mid-epoch
+    --save_every_iter, SIGTERM preemption, or the end-of-epoch save after a
+    mid-epoch one) was dropped and resume restored stale state. Two saves
+    into the same epoch must restore the LATER state."""
+    cfg, tcfg = tiny_test()
+    state = make_state(cfg, tcfg)
+    state_a = state.replace(step=jnp.asarray(10, jnp.int32))
+    save_checkpoint(str(tmp_path), epoch=3, state=state_a, mid_epoch=True,
+                    delete_previous=True)
+    mutated = dict(state.params)
+    mutated["text_projector"] = {
+        k: v + 1.0 for k, v in state.params["text_projector"].items()}
+    state_b = state.replace(step=jnp.asarray(25, jnp.int32), params=mutated)
+    # second mid-epoch save at the same step key (same epoch)
+    save_checkpoint(str(tmp_path), epoch=3, state=state_b, mid_epoch=True,
+                    delete_previous=True)
+    # and the end-of-epoch save, again at step key 3
+    save_checkpoint(str(tmp_path), epoch=3, state=state_b)
+    fresh = make_state(cfg, tcfg, seed=1)
+    restored, resume_epoch = restore_checkpoint(str(tmp_path), fresh)
+    assert resume_epoch == 4  # end-of-epoch save won: epoch 3 completed
+    assert int(restored.step) == 25
+    np.testing.assert_allclose(
+        np.asarray(restored.params["text_projector"]["kernel"]),
+        np.asarray(state_b.params["text_projector"]["kernel"]))
+
+
 def test_finetune_surgery_resets_and_truncates():
     cfg, tcfg = tiny_test()  # sequence_length 3
     pre_cfg = dataclasses.replace(cfg, sequence_length=5)
