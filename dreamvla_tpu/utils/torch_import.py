@@ -173,6 +173,11 @@ def import_gpt2_trunk(sd: Dict[str, np.ndarray], num_layers: int,
         im.used.update(k for k in sd if k.startswith(f"{tp}.attn.bias")
                        or k.startswith(f"{tp}.attn.masked_bias"))
     im.layernorm(f"{prefix}ln_f", ("ln_f",))
+    # the released gpt2-medium checkpoint also carries wte/wpe; the trunk is
+    # inputs_embeds-only with its own learned temporal pos-emb (reference
+    # gpt2.py uses vocab_size=1 and never indexes wte/wpe), so ignore them
+    im.used.update(k for k in sd if k in (f"{prefix}wte.weight",
+                                          f"{prefix}wpe.weight"))
     return im.out, im.missing, im.unexpected()
 
 

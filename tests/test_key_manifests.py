@@ -84,6 +84,110 @@ def test_dpt_manifest_consumed_exactly_and_fresh():
         k: tuple(s) for k, s in fresh.items()}
 
 
+def test_mae_manifest_consumed_exactly_and_fresh():
+    """mae_pretrain_vit_base.pth['model'] (reference load site
+    dreamvla_model.py:477-478): full layout consumed exactly; the
+    encoder-only fine-tuning variant (decoder subtree stripped, reference
+    loads strict=False) imports with EXACTLY the decoder keys missing."""
+    from dreamvla_tpu.utils.torch_import import import_mae_vit
+
+    sd = _load("mae_pretrain_vit_base")
+    params, missing, unexpected = import_mae_vit(sd, depth=12,
+                                                 decoder_depth=8)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+    assert params["patch_embed"]["kernel"].shape == (16 * 16 * 3, 768)
+
+    enc_only = {k: v for k, v in sd.items()
+                if not (k.startswith(("decoder_", "mask_token")))}
+    _, missing, unexpected = import_mae_vit(enc_only, depth=12,
+                                            decoder_depth=8)
+    assert unexpected == [], unexpected[:8]
+    assert missing and all(
+        m.startswith(("decoder_", "mask_token")) for m in missing), missing
+
+    # regenerate from the HF ground truth at base scale and compare
+    torch = pytest.importorskip("torch")
+    from transformers import ViTMAEConfig, ViTMAEForPreTraining
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_hf_oracles import _mae_hf_to_fb
+
+    cfg = ViTMAEConfig(
+        image_size=224, patch_size=16, hidden_size=768,
+        num_attention_heads=12, num_hidden_layers=12,
+        intermediate_size=3072, decoder_hidden_size=512,
+        decoder_num_attention_heads=16, decoder_num_hidden_layers=8,
+        decoder_intermediate_size=2048)
+    with torch.no_grad():
+        hf = ViTMAEForPreTraining(cfg)
+    fresh = {k: tuple(v.shape) for k, v in _mae_hf_to_fb(hf, 12, 8).items()}
+    fresh["pos_embed"] = (1, 197, 768)
+    fresh["decoder_pos_embed"] = (1, 197, 512)
+    assert {k: v.shape for k, v in sd.items()} == {
+        k: tuple(s) for k, s in fresh.items()}
+
+
+def test_clip_manifest_consumed_exactly_and_fresh():
+    """openai ViT-B/32 full state dict (reference clip.load,
+    dreamvla_model.py:511-514): text tower imported, visual tower + scalar
+    buffers (incl. the input_resolution/context_length/vocab_size entries
+    openai's build_model deletes when present) ignored without noise."""
+    from dreamvla_tpu.utils.torch_import import import_clip_text
+
+    sd = _load("clip_vit_b32")
+    params, missing, unexpected = import_clip_text(sd, layers=12)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+    assert params["token_embedding"].shape == (49408, 512)
+    assert params["text_projection"].shape == (512, 512)
+
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_hf_oracles import _clip_hf_to_openai
+
+    cfg = CLIPTextConfig(
+        vocab_size=49408, max_position_embeddings=77, hidden_size=512,
+        num_attention_heads=8, num_hidden_layers=12, intermediate_size=2048,
+        projection_dim=512, hidden_act="quick_gelu")
+    with torch.no_grad():
+        hf = CLIPTextModelWithProjection(cfg)
+    fresh = {k: tuple(v.shape) for k, v in _clip_hf_to_openai(hf, 12).items()}
+    text_keys = {k: v.shape for k, v in sd.items()
+                 if not k.startswith("visual.") and k not in (
+                     "logit_scale", "input_resolution", "context_length",
+                     "vocab_size")}
+    assert text_keys == {k: tuple(s) for k, s in fresh.items()}
+
+
+def test_gpt2_medium_manifest_consumed_exactly_and_fresh():
+    """HF gpt2-medium released weights (reference GPT2Model.from_pretrained,
+    dreamvla_model.py:539-542): trunk blocks + ln_f imported; wte/wpe and
+    the 2019-era persistent h.i.attn.bias buffers ignored."""
+    from dreamvla_tpu.utils.torch_import import import_gpt2_trunk
+
+    sd = _load("gpt2_medium")
+    params, missing, unexpected = import_gpt2_trunk(sd, 24)
+    assert missing == [], missing[:8]
+    assert unexpected == [], unexpected[:8]
+    # HF Conv1D weights are (in, out) already: no transpose applied
+    assert params["h_0"]["attn"]["c_attn"]["kernel"].shape == (1024, 3072)
+    assert params["ln_f"]["scale"].shape == (1024,)
+
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2Model
+
+    with torch.no_grad():
+        m = GPT2Model(GPT2Config(n_embd=1024, n_layer=24, n_head=16))
+    fresh = {k: tuple(v.shape) for k, v in m.state_dict().items()}
+    for i in range(24):
+        fresh[f"h.{i}.attn.bias"] = (1, 1, 1024, 1024)
+    assert {k: v.shape for k, v in sd.items()} == {
+        k: tuple(s) for k, s in fresh.items()}
+
+
 def test_cotracker_manifest_consumed_exactly_and_fresh():
     torch = pytest.importorskip("torch")
 

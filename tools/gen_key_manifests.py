@@ -149,7 +149,137 @@ def gen_cotracker() -> None:
           keys)
 
 
+# ----------------------------------------------------------------- MAE ViT-B
+def gen_mae() -> None:
+    """mae_pretrain_vit_base.pth['model'] layout (reference load site
+    dreamvla_model.py:477-478), generated live from the HF port of the same
+    checkpoint (facebook/vit-mae-base, ViTMAEForPreTraining) at the real
+    base scale, mapped by the SAME mapping the forward-parity oracle
+    validates (tests/test_hf_oracles._mae_hf_to_fb), plus the fixed sincos
+    pos tables the fb file stores (import_mae_vit ignores them — baked at
+    trace time). NOTE: facebook's fine-tuning variant of the file strips
+    the decoder subtree (loaded strict=False by the reference); the
+    manifest freezes the full encoder+decoder layout and the test also
+    checks the encoder-only subset imports with exactly the decoder keys
+    missing."""
+    import torch
+    from transformers import ViTMAEConfig, ViTMAEForPreTraining
+
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from test_hf_oracles import _mae_hf_to_fb
+
+    cfg = ViTMAEConfig(
+        image_size=224, patch_size=16, hidden_size=768,
+        num_attention_heads=12, num_hidden_layers=12,
+        intermediate_size=3072, decoder_hidden_size=512,
+        decoder_num_attention_heads=16, decoder_num_hidden_layers=8,
+        decoder_intermediate_size=2048)
+    with torch.no_grad():
+        hf = ViTMAEForPreTraining(cfg)
+    keys = {k: tuple(v.shape) for k, v in _mae_hf_to_fb(hf, 12, 8).items()}
+    keys["pos_embed"] = (1, 197, 768)
+    keys["decoder_pos_embed"] = (1, 197, 512)
+    _dump("mae_pretrain_vit_base",
+          "facebook mae_pretrain_vit_base.pth['model'] via HF "
+          "facebook/vit-mae-base (ViTMAEForPreTraining) at base scale, "
+          "mapped by tests/test_hf_oracles._mae_hf_to_fb",
+          keys)
+
+
+# ------------------------------------------------------------- CLIP ViT-B/32
+def _clip_visual_keys() -> dict:
+    """openai ViT-B/32 visual tower (width 768, 12L, patch 32, 224px ->
+    7x7+1 pos rows, proj to 512). import_clip_text deliberately ignores the
+    whole tower (the reference only calls encode_text); freezing it in the
+    manifest proves the ignore-set covers every released key."""
+    d, layers, ff = 768, 12, 3072
+    keys = {
+        "visual.class_embedding": (d,),
+        "visual.positional_embedding": (50, d),
+        "visual.proj": (d, 512),
+        "visual.conv1.weight": (d, 3, 32, 32),
+        "visual.ln_pre.weight": (d,), "visual.ln_pre.bias": (d,),
+        "visual.ln_post.weight": (d,), "visual.ln_post.bias": (d,),
+    }
+    for i in range(layers):
+        tp = f"visual.transformer.resblocks.{i}"
+        keys.update({
+            f"{tp}.ln_1.weight": (d,), f"{tp}.ln_1.bias": (d,),
+            f"{tp}.attn.in_proj_weight": (3 * d, d),
+            f"{tp}.attn.in_proj_bias": (3 * d,),
+            f"{tp}.attn.out_proj.weight": (d, d),
+            f"{tp}.attn.out_proj.bias": (d,),
+            f"{tp}.ln_2.weight": (d,), f"{tp}.ln_2.bias": (d,),
+            f"{tp}.mlp.c_fc.weight": (ff, d), f"{tp}.mlp.c_fc.bias": (ff,),
+            f"{tp}.mlp.c_proj.weight": (d, ff), f"{tp}.mlp.c_proj.bias": (d,),
+        })
+    return keys
+
+
+def gen_clip() -> None:
+    """openai CLIP ViT-B/32 state dict (reference clip.load site
+    dreamvla_model.py:511-514): text tower generated live from the HF port
+    (openai/clip-vit-base-patch32, CLIPTextModelWithProjection) at the real
+    scale via the oracle-validated mapping
+    (tests/test_hf_oracles._clip_hf_to_openai); visual tower + scalar
+    buffers convention-derived (ignored by import_clip_text)."""
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from test_hf_oracles import _clip_hf_to_openai
+
+    cfg = CLIPTextConfig(
+        vocab_size=49408, max_position_embeddings=77, hidden_size=512,
+        num_attention_heads=8, num_hidden_layers=12, intermediate_size=2048,
+        projection_dim=512, hidden_act="quick_gelu")
+    with torch.no_grad():
+        hf = CLIPTextModelWithProjection(cfg)
+    keys = {k: tuple(v.shape)
+            for k, v in _clip_hf_to_openai(hf, 12).items()}
+    keys.update(_clip_visual_keys())
+    keys["logit_scale"] = ()
+    # openai's build_model() deletes these three if present — released
+    # archives may carry them; import_clip_text must tolerate them
+    keys["input_resolution"] = ()
+    keys["context_length"] = ()
+    keys["vocab_size"] = ()
+    _dump("clip_vit_b32",
+          "openai CLIP ViT-B/32 state dict: text tower via HF "
+          "openai/clip-vit-base-patch32 (CLIPTextModelWithProjection) "
+          "mapped by tests/test_hf_oracles._clip_hf_to_openai; visual "
+          "tower convention-derived (ignored by the importer)",
+          keys)
+
+
+# ------------------------------------------------------------- gpt2-medium
+def gen_gpt2_medium() -> None:
+    """HF gpt2-medium released weights (reference load site
+    dreamvla_model.py:539-542). Generated live from the installed
+    transformers GPT2Model at the real scale (1024d/24L/16h); the 2019-era
+    released pytorch_model.bin additionally saved the per-layer causal-mask
+    buffer `h.i.attn.bias` (persistent in the converter of that era), which
+    the importer must ignore — added explicitly."""
+    import torch
+    from transformers import GPT2Config, GPT2Model
+
+    cfg = GPT2Config(n_embd=1024, n_layer=24, n_head=16)
+    with torch.no_grad():
+        m = GPT2Model(cfg)
+    keys = {k: tuple(v.shape) for k, v in m.state_dict().items()}
+    for i in range(24):
+        keys[f"h.{i}.attn.bias"] = (1, 1, 1024, 1024)
+    _dump("gpt2_medium",
+          "HF gpt2-medium (GPT2Model.state_dict() from the installed "
+          "transformers at 1024d/24L/16h) + the released file's persistent "
+          "h.i.attn.bias causal-mask buffers",
+          keys)
+
+
 if __name__ == "__main__":
     gen_timm_pair()
     gen_dpt()
     gen_cotracker()
+    gen_mae()
+    gen_clip()
+    gen_gpt2_medium()
