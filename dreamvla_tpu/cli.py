@@ -163,6 +163,12 @@ def _add_io_flags(p: argparse.ArgumentParser) -> None:
                         " trunk initialisation (reference dreamvla_model.py"
                         ":539-542)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--packed_cache_dir", default=None,
+                   help="packed frame-record cache built by `pack_calvin` "
+                        "(data/packed_cache.py): train reads windows as "
+                        "sequential mmap slices and ships uint8 images for "
+                        "on-device decode — removes the per-frame npz "
+                        "decode bottleneck (calvin finetune_type only)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steady-state train"
                         " steps (epoch 0, steps 10-15) into this directory")
@@ -316,19 +322,27 @@ def cmd_train(args) -> None:
             with open(asset) as f:
                 enrich = json.load(f)
     if args.finetune_type == "calvin":
-        data = get_calvin_dataset(
-            args.calvin_dataset,
+        calvin_kwargs = dict(
             key="except_lang" if args.except_lang else "lang",
             image_size=mcfg.image_size,  # loader must match the model
             pretrain=(mcfg.phase == "pretrain"),
             partial_data=args.partial_data, enrich_lang=enrich,
-            load_track_labels=args.load_track_labels,
-            track_label_path=args.track_label_path,
-            load_dino_features=args.load_dino_features,
-            dino_features_path=args.dino_features_path,
-            load_sam_features=args.load_sam_features,
-            sam_features_path=args.sam_features_path,
-            merge_data=args.merge_data, text_aug=args.text_aug, **common)
+            text_aug=args.text_aug, **common)
+        if args.packed_cache_dir:
+            from dreamvla_tpu.data.packed_cache import get_packed_calvin_dataset
+
+            data = get_packed_calvin_dataset(
+                args.calvin_dataset, args.packed_cache_dir, **calvin_kwargs)
+        else:
+            data = get_calvin_dataset(
+                args.calvin_dataset,
+                load_track_labels=args.load_track_labels,
+                track_label_path=args.track_label_path,
+                load_dino_features=args.load_dino_features,
+                dino_features_path=args.dino_features_path,
+                load_sam_features=args.load_sam_features,
+                sam_features_path=args.sam_features_path,
+                merge_data=args.merge_data, **calvin_kwargs)
     elif args.finetune_type.startswith("libero"):
         data = get_libero_dataset(
             args.libero_path, args.libero_suite,
@@ -724,6 +738,21 @@ def cmd_rebuild_tracks(args) -> None:
     print(f"rebuilt {n} files")
 
 
+def cmd_pack_calvin(args) -> None:
+    import os
+
+    from dreamvla_tpu.data.packed_cache import build_packed_cache
+
+    index = build_packed_cache(
+        os.path.join(args.data_root, args.split), args.out_dir,
+        image_size=args.image_size, frames_per_shard=args.frames_per_shard,
+        dino_features_path=args.dino_path, sam_features_path=args.sam_path,
+        track_label_path=args.track_path, limit_frames=args.limit_frames)
+    print(f"packed {index['num_frames']} frames "
+          f"({index['record_bytes']} B/record) into "
+          f"{len(index['shards'])} shards under {args.out_dir}")
+
+
 def cmd_convert_libero(args) -> None:
     from dreamvla_tpu.data.convert_libero import convert_suite
 
@@ -773,6 +802,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_gap", type=int, default=3)
     p.add_argument("--patch_size", type=int, default=8)
 
+    p = sub.add_parser("pack_calvin",
+                       help="pack a CALVIN split (+ optional DINO/SAM/"
+                            "track sidecars) into mmap-able fixed-stride "
+                            "shards (data/packed_cache.py): images pre-"
+                            "cropped once, windows become sequential reads"
+                            " — the host-side feed for --packed_cache_dir")
+    p.add_argument("--data_root", required=True,
+                   help="CALVIN dataset root (training/ inside)")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--split", default="training")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--frames_per_shard", type=int, default=4096)
+    p.add_argument("--dino_path", default=None)
+    p.add_argument("--sam_path", default=None)
+    p.add_argument("--track_path", default=None)
+    p.add_argument("--limit_frames", type=int, default=None)
+
     p = sub.add_parser("convert_libero",
                        help="LIBERO HDF5 demos -> per-step directory tree "
                             "(reference utils/convert_libero_per_step.py)")
@@ -796,6 +842,7 @@ def main(argv=None) -> None:
      "extract_tracks": cmd_extract_tracks,
      "merge_features": cmd_merge_features,
      "rebuild_tracks": cmd_rebuild_tracks,
+     "pack_calvin": cmd_pack_calvin,
      "convert_libero": cmd_convert_libero}[args.command](args)
 
 

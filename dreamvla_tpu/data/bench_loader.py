@@ -22,16 +22,28 @@ def main() -> None:
     p.add_argument("--act_step", type=int, default=3)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--packed", default=None,
+                   help="packed cache dir (data/packed_cache.py): measure "
+                        "the sequential-read path instead of per-frame npz")
+    p.add_argument("--image_mode", default="u8", choices=("u8", "f32"),
+                   help="packed-path host contract (u8 = on-device decode)")
     args = p.parse_args()
 
     from dreamvla_tpu.data import native_loader
     from dreamvla_tpu.data.calvin import get_calvin_dataset
+    from dreamvla_tpu.data.packed_cache import get_packed_calvin_dataset
 
     print(f"native loader: {'yes' if native_loader.available() else 'no'}")
-    info = get_calvin_dataset(args.root, batch_size=args.batch_size,
-                              window_size=args.window_size,
-                              act_step=args.act_step,
-                              num_workers=args.num_workers)
+    if args.packed:
+        info = get_packed_calvin_dataset(
+            args.root, args.packed, batch_size=args.batch_size,
+            window_size=args.window_size, act_step=args.act_step,
+            num_workers=args.num_workers, image_mode=args.image_mode)
+    else:
+        info = get_calvin_dataset(args.root, batch_size=args.batch_size,
+                                  window_size=args.window_size,
+                                  act_step=args.act_step,
+                                  num_workers=args.num_workers)
     info.set_epoch(0)
     it = iter(info.dataloader)
     next(it)  # warm the prefetch pipeline

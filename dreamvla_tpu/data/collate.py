@@ -28,19 +28,38 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from dreamvla_tpu.data.transforms import clip_image_transform, depth_to_tensor
+from dreamvla_tpu.data.transforms import (CLIP_MEAN, CLIP_STD,
+                                          clip_image_transform,
+                                          depth_to_tensor)
 
 
 class WindowCollator:
+    """image_mode='f32' (default): images ship CLIP-normalised float32.
+    image_mode='u8': pre-processed samples (packed cache, `_preprocessed`)
+    ship uint8 CHW (and float16 features as-is) for on-device decode
+    (`parallel.train_step.decode_packed_batch`) — the host does memcpy
+    only. Raw samples always take the f32 path regardless of mode."""
+
     def __init__(self, tokenizer, window_size: int, act_step: int,
                  pred_num: int = 1, image_size: int = 224,
-                 gripper_width: bool = False):
+                 gripper_width: bool = False, image_mode: str = "f32"):
         self.tokenizer = tokenizer
         self.window_size = window_size
         self.act_step = act_step
         self.pred_num = pred_num
         self.image_size = image_size
         self.gripper_width = gripper_width
+        if image_mode not in ("f32", "u8"):
+            raise ValueError(f"unknown image_mode {image_mode!r}")
+        self.image_mode = image_mode
+
+    def _prep_image(self, frames_u8: np.ndarray) -> np.ndarray:
+        """(W,S,S,3) uint8 pre-cropped -> CHW, u8 or normalised f32."""
+        if self.image_mode == "u8":
+            return np.ascontiguousarray(frames_u8.transpose(0, 3, 1, 2))
+        x = frames_u8.astype(np.float32) / 255.0
+        x = (x - CLIP_MEAN) / CLIP_STD
+        return x.transpose(0, 3, 1, 2)
 
     @property
     def frame_window(self) -> int:
@@ -63,15 +82,26 @@ class WindowCollator:
             out.setdefault(key, []).append(value)
 
         for s in samples:
-            put("images_primary",
-                clip_image_transform(s["rgb_static"][:w], self.image_size))
-            put("images_wrist",
-                clip_image_transform(s["rgb_gripper"][:w], self.image_size))
-            if "depth_static" in s:
-                put("depth_primary", depth_to_tensor(s["depth_static"][:w],
-                                                     self.image_size))
-                put("depth_wrist", depth_to_tensor(s["depth_gripper"][:w],
-                                                   self.image_size))
+            if s.get("_preprocessed"):
+                # packed-cache path: images are the stored uint8 CLIP crop,
+                # depth already at model resolution
+                put("images_primary", self._prep_image(s["rgb_static"][:w]))
+                put("images_wrist", self._prep_image(s["rgb_gripper"][:w]))
+                if "depth_static" in s:
+                    put("depth_primary",
+                        s["depth_static"][:w, None].astype(np.float32))
+                    put("depth_wrist",
+                        s["depth_gripper"][:w, None].astype(np.float32))
+            else:
+                put("images_primary",
+                    clip_image_transform(s["rgb_static"][:w], self.image_size))
+                put("images_wrist",
+                    clip_image_transform(s["rgb_gripper"][:w], self.image_size))
+                if "depth_static" in s:
+                    put("depth_primary", depth_to_tensor(s["depth_static"][:w],
+                                                         self.image_size))
+                    put("depth_wrist", depth_to_tensor(s["depth_gripper"][:w],
+                                                       self.image_size))
             put("states", self._states(s["robot_obs"][:w]))
             actions = s["rel_actions"][:wa].astype(np.float32).copy()
             actions[:, 6:] = (actions[:, 6:] + 1) // 2
@@ -80,7 +110,11 @@ class WindowCollator:
                         "sam_wrist", "tracks", "tracks_gripper",
                         "track_vis", "track_vis_gripper"):
                 if key in s:
-                    put(key, s[key][:w].astype(np.float32))
+                    arr = s[key][:w]
+                    # u8 mode ships float16 features as-is (upcast happens
+                    # on-device in decode_packed_batch)
+                    put(key, arr if self.image_mode == "u8"
+                        else arr.astype(np.float32))
 
         batch = {k: np.stack(v) for k, v in out.items()}
         batch["text_tokens"] = self.tokenizer([s["lang"] for s in samples])

@@ -43,7 +43,8 @@ def create_train_state(model: DreamVLA, tcfg: TrainConfig, sample_batch: Dict,
             "dropout": jax.random.fold_in(rng, 2),
             "mask": jax.random.fold_in(rng, 3)}
     variables = model.init(rngs, mode="train", train=False,
-                           **prepare_model_inputs(model.cfg, sample_batch))
+                           **prepare_model_inputs(
+                               model.cfg, decode_packed_batch(sample_batch)))
     params = variables["params"]
     schedule = build_lr_schedule(
         tcfg.lr_scheduler, tcfg.learning_rate,
@@ -85,6 +86,25 @@ def prepare_model_inputs(cfg: DreamVLAConfig, batch: Dict) -> Dict:
     return out
 
 
+def decode_packed_batch(batch: Dict) -> Dict:
+    """In-graph decode of the packed-cache host contract
+    (`data/packed_cache.py`, image_mode='u8'): uint8 CHW images ->
+    CLIP-normalised float32 (bit-equal to the host `clip_image_transform`
+    constants), float16 feature labels / uint8 visibility -> float32.
+    A trivial fused VPU op on TPU; a no-op on already-float batches."""
+    from dreamvla_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    batch = dict(batch)
+    mean = jnp.asarray(CLIP_MEAN).reshape(1, 1, 3, 1, 1)
+    std = jnp.asarray(CLIP_STD).reshape(1, 1, 3, 1, 1)
+    for k, v in batch.items():
+        if v.dtype == jnp.uint8 and k.startswith("images_"):
+            batch[k] = (v.astype(jnp.float32) / 255.0 - mean) / std
+        elif v.dtype in (jnp.float16, jnp.uint8):
+            batch[k] = v.astype(jnp.float32)
+    return batch
+
+
 def apply_random_shifts(tcfg: TrainConfig, batch: Dict, rng) -> Dict:
     """On-device DrQ shifts (the reference runs these in dataloader worker
     processes, data_utils.py:1337-1354): rgb_pad shifts the static view
@@ -114,7 +134,7 @@ def make_loss_fn(model: DreamVLA, tcfg: TrainConfig, trunk_pipeline=None):
     (parallel.pp.build_trunk_pipeline), threaded through to GPT2Trunk."""
     def loss_fn(params, batch, rng):
         r_diff, r_drop, r_mask, r_aug = jax.random.split(rng, 4)
-        batch = apply_random_shifts(tcfg, batch, r_aug)
+        batch = apply_random_shifts(tcfg, decode_packed_batch(batch), r_aug)
         inputs = prepare_model_inputs(model.cfg, batch)
         outputs = model.apply(
             {"params": params}, mode="train", train=True,
