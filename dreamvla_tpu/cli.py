@@ -82,6 +82,9 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_every_iter", type=int, default=0,
                    help="mid-epoch preemption-safe checkpoint cadence "
                         "(reference exposes but never acts on it)")
+    p.add_argument("--log_every", type=int, default=20,
+                   help="metric-logging cadence in steps (reference logs "
+                        "per-step to tqdm, train_utils.py:725-726)")
     p.add_argument("--start_save_checkpoint", type=int, default=-1,
                    help="first epoch to save checkpoints at (reference "
                         "arguments_utils.py)")
@@ -464,6 +467,7 @@ def cmd_train(args) -> None:
     for epoch in range(resume_epoch, tcfg.num_epochs):
         state, _ = train_one_epoch(model, tcfg, state, step_fn, data, epoch,
                                    rng, mesh=mesh, logger=logger,
+                                   log_every=args.log_every,
                                    profile_dir=args.profile_dir,
                                    save_every_iter=args.save_every_iter,
                                    ckpt_dir=f"{args.save_checkpoint_path}/"

@@ -35,17 +35,29 @@ class TrainState:
 
 def create_train_state(model: DreamVLA, tcfg: TrainConfig, sample_batch: Dict,
                        rng: jax.Array, total_steps: int,
-                       steps_per_epoch: int = 1000):
+                       steps_per_epoch: int = 1000,
+                       cheap_init: bool = False):
     """Initialise params + optimizer. sample_batch: one host micro-batch
-    (window contract, see `prepare_model_inputs`)."""
+    (window contract, see `prepare_model_inputs`).
+
+    cheap_init=True skips the real initializer: the param tree comes from
+    jax.eval_shape (host-only trace) filled with a constant by a trivial
+    broadcast program. For benchmarking only — through this environment's
+    tunnel the full init program costs minutes (bench.py docstring) and
+    step timing does not depend on weight values."""
     rngs = {"params": rng,
             "diffusion": jax.random.fold_in(rng, 1),
             "dropout": jax.random.fold_in(rng, 2),
             "mask": jax.random.fold_in(rng, 3)}
-    variables = model.init(rngs, mode="train", train=False,
-                           **prepare_model_inputs(
-                               model.cfg, decode_packed_batch(sample_batch)))
-    params = variables["params"]
+    init = lambda: model.init(  # noqa: E731 - shared by both paths
+        rngs, mode="train", train=False,
+        **prepare_model_inputs(model.cfg, decode_packed_batch(sample_batch)))
+    if cheap_init:
+        shapes = jax.eval_shape(init)["params"]
+        params = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes))()
+    else:
+        params = init()["params"]
     schedule = build_lr_schedule(
         tcfg.lr_scheduler, tcfg.learning_rate,
         tcfg.warmup_epochs * steps_per_epoch, total_steps)
@@ -95,10 +107,10 @@ def decode_packed_batch(batch: Dict) -> Dict:
     from dreamvla_tpu.data.transforms import CLIP_MEAN, CLIP_STD
 
     batch = dict(batch)
-    mean = jnp.asarray(CLIP_MEAN).reshape(1, 1, 3, 1, 1)
-    std = jnp.asarray(CLIP_STD).reshape(1, 1, 3, 1, 1)
     for k, v in batch.items():
         if v.dtype == jnp.uint8 and k.startswith("images_"):
+            mean = jnp.asarray(CLIP_MEAN).reshape(1, 1, 3, 1, 1)
+            std = jnp.asarray(CLIP_STD).reshape(1, 1, 3, 1, 1)
             batch[k] = (v.astype(jnp.float32) / 255.0 - mean) / std
         elif v.dtype in (jnp.float16, jnp.uint8):
             batch[k] = v.astype(jnp.float32)

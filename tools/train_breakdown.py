@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--only", choices=["fwd", "fwdbwd", "step"],
                     help="measure one program (default: all three, each in "
                          "a fresh subprocess to avoid cross-program OOM)")
+    ap.add_argument("--cheap_init", action="store_true",
+                    help="constant-fill params via jax.eval_shape instead "
+                         "of the real initializer (the init program costs "
+                         "minutes through the tunnel; step timing is "
+                         "value-independent) — used by bench.py")
     args = ap.parse_args()
 
     if args.only is None:
@@ -71,6 +76,8 @@ def main():
                 cmd.append("--no_fused_train")
             if args.no_fused_decoder:
                 cmd.append("--no_fused_decoder")
+            if args.cheap_init:
+                cmd.append("--cheap_init")
             subprocess.run(cmd, check=True)
         return
 
@@ -106,7 +113,8 @@ def main():
     model = DreamVLA(cfg)
     batch = make_synthetic_batch(cfg, tcfg, batch=bs)
     state, tx, _ = create_train_state(model, tcfg, batch,
-                                      jax.random.PRNGKey(0), total_steps=100)
+                                      jax.random.PRNGKey(0), total_steps=100,
+                                      cheap_init=args.cheap_init)
     batch = jax.tree.map(jnp.asarray, batch)
     loss_fn = make_loss_fn(model, tcfg)
 
