@@ -161,6 +161,48 @@ def test_packed_features_roundtrip(calvin_root, tmp_path_factory):
         np.testing.assert_array_equal(s_pk[k].astype(np.float32), s_raw[k])
 
 
+def test_train_step_u8_batch_matches_f32(calvin_root, packed_dir):
+    """The full train step on the packed u8 host contract produces the
+    same losses as on the pre-decoded f32 batch (decode_packed_batch runs
+    in-graph inside loss_fn for every regime)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dreamvla_tpu.config import tiny_test
+    from dreamvla_tpu.models.dreamvla import DreamVLA
+    from dreamvla_tpu.parallel.train_step import (build_train_step,
+                                                  create_train_state,
+                                                  decode_packed_batch)
+    from dreamvla_tpu.utils.testing import make_synthetic_batch
+
+    cfg, tcfg = tiny_test()
+    tcfg = dataclasses.replace(tcfg, batch_size=2)
+    model = DreamVLA(cfg)
+    batch = make_synthetic_batch(cfg, tcfg, batch=2, seed=3)
+    rng = np.random.default_rng(5)
+    # rebuild the images as a u8 packed contract + its exact f32 decode
+    for k in ("images_primary", "images_wrist"):
+        batch[k] = rng.integers(0, 256, size=batch[k].shape,
+                                dtype=np.uint8)
+    batch_u8 = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch_f32 = decode_packed_batch(batch_u8)
+    assert batch_f32["images_primary"].dtype == jnp.float32
+
+    state, tx, _ = create_train_state(model, tcfg, batch, jax.random.PRNGKey(0),
+                                      total_steps=10, cheap_init=True)
+    step = build_train_step(model, tcfg, tx, mesh=None, donate=False)
+    r = jax.random.PRNGKey(1)
+    add_accum = lambda b: jax.tree.map(lambda v: v[None], b)  # noqa: E731
+    _, losses_u8 = step(state, add_accum(batch_u8), r)
+    _, losses_f32 = step(state, add_accum(batch_f32), r)
+    np.testing.assert_allclose(float(losses_u8.total),
+                               float(losses_f32.total), rtol=1e-5)
+    np.testing.assert_allclose(float(losses_u8.image),
+                               float(losses_f32.image), rtol=1e-5)
+
+
 def test_get_packed_calvin_dataset_loader(calvin_root, packed_dir):
     """End-to-end loader assembly over the packed cache (u8 default)."""
     info = get_packed_calvin_dataset(

@@ -88,6 +88,8 @@ def main() -> None:
         "--batch_size", str(args.batch_size),
         "--workers", str(args.workers),
         "--save_checkpoint_path", ckpt, "--run_name", "smoke",
+        "--save_checkpoint",  # end-of-epoch orbax saves (reference-style
+        # opt-in gate; without it the auto-resume leg finds no checkpoint)
         "--resume_from_checkpoint", "auto",
         "--log_every", str(args.log_every),
     ]
