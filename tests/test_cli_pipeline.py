@@ -386,3 +386,60 @@ def test_cmd_train_auto_resume_kill_restart(tmp_path, monkeypatch):
         p1 = mgr.restore(1)
     assert int(p1["epoch"]) == 1
     assert int(p1["step"]) == 2 * int(p0["step"]) > 0
+
+
+def test_cli_pack_calvin_and_packed_train(tmp_path, monkeypatch):
+    """pack_calvin subcommand -> cmd_train --packed_cache_dir: the packed
+    route from argv to a finished epoch + checkpoint (u8 host contract,
+    in-graph decode). Mirrors test_cmd_train_pp_end_to_end's tiny setup."""
+    import dataclasses
+
+    import numpy as np
+
+    from dreamvla_tpu import config as dvconfig
+    from dreamvla_tpu.utils.testing import make_disk_calvin
+
+    def tiny_with_text():
+        cfg, tcfg = dvconfig.tiny_test()
+        return dataclasses.replace(cfg, include_text_encoder=True), tcfg
+
+    monkeypatch.setitem(dvconfig.PRESETS, "tiny_test", tiny_with_text)
+
+    from dreamvla_tpu.parallel import train_step as dvts
+    from dreamvla_tpu.utils.testing import cached_train_state
+
+    orig_cts = dvts.create_train_state
+
+    def cached_cts(model, tcfg, batch, rng, total_steps, steps_per_epoch=1000):
+        del rng
+        return cached_train_state(model, tcfg, batch, 0, total_steps,
+                                  steps_per_epoch, create_fn=orig_cts)
+
+    monkeypatch.setattr(dvts, "create_train_state", cached_cts)
+
+    root = tmp_path / "calvin" / "training"
+    make_disk_calvin(str(root))
+    # pack_calvin reads the episode index; make_disk_calvin only writes
+    # the lang annotations
+    np.save(root / "ep_start_end_ids.npy", np.array([[0, 23]]))
+
+    cfg, _ = tiny_with_text()
+    parser = cli.build_parser()
+    cli.cmd_pack_calvin(parser.parse_args([
+        "pack_calvin", "--data_root", str(tmp_path / "calvin"),
+        "--out_dir", str(tmp_path / "packed"),
+        "--image_size", str(cfg.image_size),
+        "--frames_per_shard", "10"]))
+    assert (tmp_path / "packed" / "packed_index.json").exists()
+
+    cli.cmd_train(parser.parse_args([
+        "train", "--preset", "tiny_test",
+        "--calvin_dataset", str(tmp_path / "calvin"),
+        "--packed_cache_dir", str(tmp_path / "packed"),
+        "--batch_size", "8", "--num_epochs", "1", "--workers", "1",
+        "--save_checkpoint", "--save_checkpoint_path", str(tmp_path / "ck"),
+        "--run_name", "packed_smoke"]))
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(tmp_path / "ck" / "packed_smoke")) as mgr:
+        assert mgr.all_steps() == [0]
