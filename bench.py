@@ -359,12 +359,20 @@ def main():
     # init in train mode so the DiT head's params are created too; bf16
     # matrices = standard serving practice (halves weight reads)
     t_init0 = time.perf_counter()
-    params = build_params(
+    params_raw = build_params(
         model, cfg,
         dict(image_primary=ip, image_wrist=iw, state=st, text_tokens=tt,
              action_label=action_label, mode="train", train=False),
         {"params": jax.random.PRNGKey(0),
          "diffusion": jax.random.PRNGKey(1)})
+    # serving layout: the 24 trunk layers stacked so the fused kernel runs
+    # once under lax.scan — bit-equal to unrolled (tests/test_gpt2_fused),
+    # ~24x smaller executable => proportionally cheaper tunnel compiles.
+    # params_raw stays alive for the int8 phase (quantization walks the
+    # per-layer tree).
+    from dreamvla_tpu.ops.gpt2_fused import stack_trunk_params
+
+    params = stack_trunk_params(params_raw)
     jax.block_until_ready(params)
     init_s = time.perf_counter() - t_init0
 
@@ -522,9 +530,11 @@ def main():
             from dreamvla_tpu.ops.gpt2_fused import quantize_trunk_params
             from dreamvla_tpu.ops.vit_fused import quantize_encoder_params
 
-            params_q = quantize_encoder_params(quantize_trunk_params(params))
+            params_q = quantize_encoder_params(
+                quantize_trunk_params(params_raw))
             params_q["action_model"] = quantize_dit_params(
                 params_q["action_model"])
+            params_q = stack_trunk_params(params_q)
             runq, warmq = build_run_n(model, params_q, int8_sb, serve_steps)
             note(f"int8 bs{int8_sb} built")
             t_q = measure(runq, warmq, params_q, serve_steps, repeats=3)

@@ -546,6 +546,21 @@ def _restore_policy(args):
         params = quantize_encoder_params(params)
         print("MAE encoder block weights quantized to int8 "
               "(cfg.int8_encoder_inference)")
+    from dreamvla_tpu.ops.attention import is_tpu_backend
+    from dreamvla_tpu.ops.gpt2_fused import (stack_trunk_params,
+                                             supports_fused_trunk)
+
+    k = mcfg.sequence_length
+    if is_tpu_backend() and supports_fused_trunk(
+            k * mcfg.tokens_per_step, mcfg.hidden_dim,
+            mcfg.transformer_heads, k * mcfg.num_a,
+            k * (mcfg.num_a + mcfg.total_query_tokens)):
+        # serving layout: one scanned fused trunk kernel instead of L
+        # unrolled instances — bit-equal (tests/test_gpt2_fused.py),
+        # ~L-fold smaller executable and compile time
+        params = stack_trunk_params(params)
+        print("trunk params layer-stacked for serving "
+              "(scanned fused kernel)")
     return model, params, mcfg
 
 

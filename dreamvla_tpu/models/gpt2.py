@@ -138,17 +138,26 @@ class GPT2Trunk(nn.Module):
 
             sp = self.split
             n_a, n_q = sp.k * sp.na, sp.k * (sp.na + sp.nobs)
-            quantized = isinstance(
-                self.variables["params"]["h_0"]["attn"]["c_attn"]["kernel"],
-                (tuple, list))
+            bp = self.variables["params"]
+            # stack_trunk_params serving layout: one kernel under lax.scan
+            stacked = "h_stacked" in bp
+            probe = (bp["h_stacked"] if stacked else bp["h_0"])
+            quantized = isinstance(probe["attn"]["c_attn"]["kernel"],
+                                   (tuple, list))
             if (is_tpu_backend() and supports_fused_trunk(
                     x.shape[1], x.shape[2], self.num_heads, n_a, n_q)
-                    and (deterministic or not quantized)):
-                from dreamvla_tpu.ops.gpt2_fused import fused_gpt2_layers_int8
+                    and (deterministic or not (quantized or stacked))):
+                from dreamvla_tpu.ops.gpt2_fused import (
+                    fused_gpt2_layers_int8, fused_gpt2_layers_scanned)
                 from dreamvla_tpu.ops.gpt2_fused_train import (
                     fused_gpt2_train_layers)
 
-                bp = self.variables["params"]
+                if stacked:
+                    x = fused_gpt2_layers_scanned(
+                        x, bp["h_stacked"], bias, n_a, n_q,
+                        self.num_heads, eps=self.ln_eps)
+                    return nn.LayerNorm(epsilon=self.ln_eps,
+                                        dtype=self.dtype, name="ln_f")(x)
                 blocks = [bp[f"h_{i}"] for i in range(self.num_layers)]
                 if not deterministic:
                     # training apply: differentiable train kernels with
@@ -177,6 +186,14 @@ class GPT2Trunk(nn.Module):
                                     name="ln_f")(x)
         if not self.is_initializing():
             bp = self.variables["params"]
+            if "h_stacked" in bp:
+                raise RuntimeError(
+                    "trunk params are layer-stacked (stack_trunk_params) "
+                    "but the fused TPU inference path is not engaged "
+                    f"(fused={fused}, deterministic={deterministic}); "
+                    "stacked params only run on the scanned fused kernel — "
+                    "pass the per-layer tree for training/CPU/unfused "
+                    "applies")
             if "h_0" in bp and isinstance(
                     bp["h_0"]["attn"]["c_attn"]["kernel"], (tuple, list)):
                 raise RuntimeError(

@@ -158,23 +158,12 @@ def fused_gpt2_layers(x: jnp.ndarray, layer_params: Sequence[Dict[str, Any]],
     biasa, biasb, rb0 = build_role_biases(bias, n_a, n_q, lp)
     grid = (b,)
 
-    row = lambda a: jnp.asarray(a, cdt).reshape(1, -1)  # noqa: E731
-    mat = lambda a: jnp.asarray(a, cdt)                 # noqa: E731
     wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
 
     kernel = functools.partial(_block_kernel, num_heads=num_heads, nq=n_q,
                                rb0=rb0, lp=lp, eps=eps)
     for p in layer_params:
-        ops = [
-            row(p["ln_1"]["scale"]), row(p["ln_1"]["bias"]),
-            mat(p["attn"]["c_attn"]["kernel"]),
-            row(p["attn"]["c_attn"]["bias"]),
-            mat(p["attn"]["c_proj"]["kernel"]),
-            row(p["attn"]["c_proj"]["bias"]),
-            row(p["ln_2"]["scale"]), row(p["ln_2"]["bias"]),
-            mat(p["mlp_c_fc"]["kernel"]), row(p["mlp_c_fc"]["bias"]),
-            mat(p["mlp_c_proj"]["kernel"]), row(p["mlp_c_proj"]["bias"]),
-        ]
+        ops = _bf16_layer_ops(p, cdt)
         xp = pl.pallas_call(
             kernel,
             grid=grid,
@@ -186,6 +175,119 @@ def fused_gpt2_layers(x: jnp.ndarray, layer_params: Sequence[Dict[str, Any]],
             interpret=interpret,
             compiler_params=None if interpret else _COMPILER_PARAMS,
         )(xp, biasa, biasb, *ops)
+    return xp[:, :l]
+
+
+def stack_trunk_params(params: Dict[str, Any],
+                       scope: str = "transformer_backbone",
+                       num_layers: int = None) -> Dict[str, Any]:
+    """Host-side, one-time SERVING transform: stack the per-layer trunk
+    block trees (h_0..h_{L-1}) into one 'h_stacked' tree whose leaves have
+    a leading layer axis, removing the per-layer subtrees.
+
+    The fused serving apply then runs ONE Pallas block kernel inside a
+    `lax.scan` over the layer axis instead of L unrolled kernel instances
+    — bit-identical math, but the compiled executable shrinks ~L-fold
+    (the flagship 24-layer serving program embeds 24 copies of the same
+    Mosaic binary when unrolled), which matters wherever compiles are
+    expensive (this environment's tunnel: 70 MB bs-1 executable, up to
+    817 s to build at the tunnel's slow state).
+
+    Works on bf16/f32 trees AND on `quantize_trunk_params` output (the
+    (int8, scale) kernel tuples stack per component). Serving-only, like
+    quantization: training/unfused applies need the per-layer tree.
+    """
+    params = dict(params)
+    trunk = dict(params[scope])
+    names = sorted((n for n in trunk
+                    if n.startswith("h_") and n[2:].isdigit()),
+                   key=lambda n: int(n[2:]))
+    if num_layers is not None:
+        names = names[:num_layers]
+    blocks = [trunk.pop(n) for n in names]
+    trunk["h_stacked"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    params[scope] = trunk
+    return params
+
+
+def _bf16_layer_ops(p: Dict[str, Any], cdt) -> list:
+    """The fused kernel's 12 weight operands for one layer (order matches
+    _block_kernel's signature)."""
+    row = lambda a: jnp.asarray(a, cdt).reshape(1, -1)  # noqa: E731
+    mat = lambda a: jnp.asarray(a, cdt)                 # noqa: E731
+    return [
+        row(p["ln_1"]["scale"]), row(p["ln_1"]["bias"]),
+        mat(p["attn"]["c_attn"]["kernel"]),
+        row(p["attn"]["c_attn"]["bias"]),
+        mat(p["attn"]["c_proj"]["kernel"]),
+        row(p["attn"]["c_proj"]["bias"]),
+        row(p["ln_2"]["scale"]), row(p["ln_2"]["bias"]),
+        mat(p["mlp_c_fc"]["kernel"]), row(p["mlp_c_fc"]["bias"]),
+        mat(p["mlp_c_proj"]["kernel"]), row(p["mlp_c_proj"]["bias"]),
+    ]
+
+
+def _int8_layer_ops(p: Dict[str, Any], cdt) -> list:
+    """The int8 kernel's 16 operands for one layer (order matches
+    _block_kernel_int8's signature)."""
+    row = lambda a: jnp.asarray(a, cdt).reshape(1, -1)  # noqa: E731
+    srow = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)  # noqa: E731
+    wqkv, sqkv = p["attn"]["c_attn"]["kernel"]
+    wproj, sproj = p["attn"]["c_proj"]["kernel"]
+    w1, s1 = p["mlp_c_fc"]["kernel"]
+    w2, s2 = p["mlp_c_proj"]["kernel"]
+    return [
+        row(p["ln_1"]["scale"]), row(p["ln_1"]["bias"]),
+        wqkv, srow(sqkv), row(p["attn"]["c_attn"]["bias"]),
+        wproj, srow(sproj), row(p["attn"]["c_proj"]["bias"]),
+        row(p["ln_2"]["scale"]), row(p["ln_2"]["bias"]),
+        w1, srow(s1), row(p["mlp_c_fc"]["bias"]),
+        w2, srow(s2), row(p["mlp_c_proj"]["bias"]),
+    ]
+
+
+def fused_gpt2_layers_scanned(x: jnp.ndarray, stacked: Dict[str, Any],
+                              bias: jnp.ndarray, n_a: int, n_q: int,
+                              num_heads: int, eps: float = 1e-5,
+                              interpret: bool = False) -> jnp.ndarray:
+    """fused_gpt2_layers(_int8) over a `stack_trunk_params` tree: one
+    pallas_call traced once, `lax.scan` over the layer axis. Identical op
+    order per layer => bit-equal outputs (tests/test_gpt2_fused.py)."""
+    b, l, d = x.shape
+    cdt = x.dtype
+    lp = _round_up(l, _SUBLANE)
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    biasa, biasb, rb0 = build_role_biases(bias, n_a, n_q, lp)
+    grid = (b,)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
+
+    quantized = isinstance(stacked["attn"]["c_attn"]["kernel"],
+                           (tuple, list))
+    if quantized:
+        kernel = functools.partial(_block_kernel_int8, num_heads=num_heads,
+                                   nq=n_q, rb0=rb0, lp=lp, eps=eps)
+        ops_fn = _int8_layer_ops
+    else:
+        kernel = functools.partial(_block_kernel, num_heads=num_heads,
+                                   nq=n_q, rb0=rb0, lp=lp, eps=eps)
+        ops_fn = _bf16_layer_ops
+
+    def body(carry, layer):
+        ops = ops_fn(layer, cdt)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0)),
+                      wspec(biasa.shape), wspec(biasb.shape)]
+            + [wspec(o.shape) for o in ops],
+            out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, lp, d), cdt),
+            interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+        )(carry, biasa, biasb, *ops)
+        return out, None
+
+    xp, _ = jax.lax.scan(body, xp, stacked)
     return xp[:, :l]
 
 
@@ -323,25 +425,12 @@ def fused_gpt2_layers_int8(x: jnp.ndarray,
     biasa, biasb, rb0 = build_role_biases(bias, n_a, n_q, lp)
     grid = (b,)
 
-    row = lambda a: jnp.asarray(a, cdt).reshape(1, -1)  # noqa: E731
-    srow = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)  # noqa: E731
     wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
 
     kernel = functools.partial(_block_kernel_int8, num_heads=num_heads,
                                nq=n_q, rb0=rb0, lp=lp, eps=eps)
     for p in layer_params_q:
-        wqkv, sqkv = p["attn"]["c_attn"]["kernel"]
-        wproj, sproj = p["attn"]["c_proj"]["kernel"]
-        w1, s1 = p["mlp_c_fc"]["kernel"]
-        w2, s2 = p["mlp_c_proj"]["kernel"]
-        ops = [
-            row(p["ln_1"]["scale"]), row(p["ln_1"]["bias"]),
-            wqkv, srow(sqkv), row(p["attn"]["c_attn"]["bias"]),
-            wproj, srow(sproj), row(p["attn"]["c_proj"]["bias"]),
-            row(p["ln_2"]["scale"]), row(p["ln_2"]["bias"]),
-            w1, srow(s1), row(p["mlp_c_fc"]["bias"]),
-            w2, srow(s2), row(p["mlp_c_proj"]["bias"]),
-        ]
+        ops = _int8_layer_ops(p, cdt)
         xp = pl.pallas_call(
             kernel,
             grid=grid,

@@ -102,3 +102,50 @@ def test_supports_fused_trunk_gate():
     assert not supports_fused_trunk(930, 1024, 16, 361, 900)  # nA align
     assert not supports_fused_trunk(930, 1024, 16, 360, 930)  # no action rows
     assert not supports_fused_trunk(96, 1024, 16, 48, 90)  # nA pad > L
+
+def test_scanned_trunk_bitexact_vs_unrolled(trunk_setup):
+    """stack_trunk_params + the lax.scan fused apply is bit-equal to the
+    unrolled fused apply (same kernel, same op order per layer)."""
+    from dreamvla_tpu.ops.gpt2_fused import (fused_gpt2_layers_scanned,
+                                             stack_trunk_params)
+
+    x, bias, split, trunk, v, bp = trunk_setup
+    ref = fused_gpt2_layers(x, bp, bias, N_A, N_Q, H, interpret=True)
+    full = stack_trunk_params({"transformer_backbone": dict(v["params"])})
+    stacked = full["transformer_backbone"]["h_stacked"]
+    assert stacked["attn"]["c_attn"]["kernel"].shape[0] == DEPTH
+    assert "h_0" not in full["transformer_backbone"]
+    got = fused_gpt2_layers_scanned(x, stacked, bias, N_A, N_Q, H,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_scanned_trunk_int8_bitexact_vs_unrolled(trunk_setup):
+    """Same bit-parity for the int8 (W8A8) variant: quantize then stack."""
+    from dreamvla_tpu.ops.gpt2_fused import (fused_gpt2_layers_int8,
+                                             fused_gpt2_layers_scanned,
+                                             quantize_trunk_params,
+                                             stack_trunk_params)
+
+    x, bias, split, trunk, v, bp = trunk_setup
+    xb = x.astype(jnp.bfloat16)
+    q = quantize_trunk_params({"transformer_backbone": dict(v["params"])})
+    bq = [q["transformer_backbone"][f"h_{i}"] for i in range(DEPTH)]
+    ref = fused_gpt2_layers_int8(xb, bq, bias, N_A, N_Q, H, interpret=True)
+    qs = stack_trunk_params(q)
+    got = fused_gpt2_layers_scanned(
+        xb, qs["transformer_backbone"]["h_stacked"], bias, N_A, N_Q, H,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_stacked_params_unfused_apply_raises(trunk_setup):
+    """A stacked tree reaching a non-fused apply fails loudly (mirrors the
+    int8 guard) instead of silently re-initialising per-layer params."""
+    x, bias, split, trunk, v, bp = trunk_setup
+    from dreamvla_tpu.ops.gpt2_fused import stack_trunk_params
+
+    full = stack_trunk_params({"transformer_backbone": dict(v["params"])})
+    vs = {"params": full["transformer_backbone"]}
+    with pytest.raises(RuntimeError, match="layer-stacked"):
+        trunk.apply(vs, x, bias, True)
