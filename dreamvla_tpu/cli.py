@@ -551,10 +551,12 @@ def _restore_policy(args):
                                              supports_fused_trunk)
 
     k = mcfg.sequence_length
-    if is_tpu_backend() and supports_fused_trunk(
-            k * mcfg.tokens_per_step, mcfg.hidden_dim,
-            mcfg.transformer_heads, k * mcfg.num_a,
-            k * (mcfg.num_a + mcfg.total_query_tokens)):
+    if (is_tpu_backend() and mcfg.fused_trunk_inference
+            and mcfg.trunk_token_reorder and mcfg.total_query_tokens > 0
+            and supports_fused_trunk(
+                k * mcfg.tokens_per_step, mcfg.hidden_dim,
+                mcfg.transformer_heads, k * mcfg.num_a,
+                k * (mcfg.num_a + mcfg.total_query_tokens))):
         # serving layout: one scanned fused trunk kernel instead of L
         # unrolled instances — bit-equal (tests/test_gpt2_fused.py),
         # ~L-fold smaller executable and compile time
