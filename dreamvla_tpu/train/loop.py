@@ -83,10 +83,16 @@ def train_one_epoch(model, tcfg: TrainConfig, state, step_fn, data_info,
                 profiling = False
         if (panel_every and logger is not None and is_saver
                 and i % panel_every == 0):
+            from dreamvla_tpu.parallel.train_step import decode_packed_batch
             from dreamvla_tpu.train.panels import build_panels
 
             rng, prng = jax.random.split(rng)
-            panels = build_panels(model, state.params, batch, prng)
+            # packed-cache batches ship uint8 images / f16 features; the
+            # panel builder (like the model) wants the decoded f32 view
+            panels = build_panels(model, state.params,
+                                  decode_packed_batch(
+                                      jax.tree.map(jnp.asarray, batch)),
+                                  prng)
             if panels:
                 logger.log_images(panels, int(jax.device_get(state.step)),
                                   save_dir=panel_dir)
