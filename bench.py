@@ -365,14 +365,15 @@ def main():
              action_label=action_label, mode="train", train=False),
         {"params": jax.random.PRNGKey(0),
          "diffusion": jax.random.PRNGKey(1)})
-    # serving layout: the 24 trunk layers stacked so the fused kernel runs
-    # once under lax.scan — bit-equal to unrolled (tests/test_gpt2_fused),
-    # ~24x smaller executable => proportionally cheaper tunnel compiles.
-    # params_raw stays alive for the int8 phase (quantization walks the
-    # per-layer tree).
+    # serving layout: trunk (24) + encoder (12) layers stacked so each
+    # fused kernel runs once under lax.scan — bit-equal to unrolled
+    # (tests/test_gpt2_fused, test_vit_fused), ~depth-fold smaller
+    # executables => proportionally cheaper tunnel compiles. params_raw
+    # stays alive for the int8 phase (quantization walks per-layer trees).
     from dreamvla_tpu.ops.gpt2_fused import stack_trunk_params
+    from dreamvla_tpu.ops.vit_fused import stack_encoder_params
 
-    params = stack_trunk_params(params_raw)
+    params = stack_encoder_params(stack_trunk_params(params_raw))
     jax.block_until_ready(params)
     init_s = time.perf_counter() - t_init0
 
@@ -534,7 +535,7 @@ def main():
                 quantize_trunk_params(params_raw))
             params_q["action_model"] = quantize_dit_params(
                 params_q["action_model"])
-            params_q = stack_trunk_params(params_q)
+            params_q = stack_encoder_params(stack_trunk_params(params_q))
             runq, warmq = build_run_n(model, params_q, int8_sb, serve_steps)
             note(f"int8 bs{int8_sb} built")
             t_q = measure(runq, warmq, params_q, serve_steps, repeats=3)

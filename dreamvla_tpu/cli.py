@@ -563,6 +563,15 @@ def _restore_policy(args):
         params = stack_trunk_params(params)
         print("trunk params layer-stacked for serving "
               "(scanned fused kernel)")
+    from dreamvla_tpu.ops.vit_fused import (stack_encoder_params,
+                                            supports_fused)
+
+    if (is_tpu_backend() and not mcfg.use_dinosiglip
+            and supports_fused(1, 1 + (mcfg.image_size // mcfg.patch_size) ** 2,
+                               mcfg.vision_embed_dim, mcfg.vision_heads)):
+        params = stack_encoder_params(params)
+        print("encoder params layer-stacked for serving "
+              "(scanned fused kernel)")
     return model, params, mcfg
 
 

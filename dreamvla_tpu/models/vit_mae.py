@@ -108,19 +108,32 @@ class MaskedAutoencoderViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1])), x], axis=1)
         if self._use_fused(x):
             from dreamvla_tpu.ops.vit_fused import (fused_vit_layers,
-                                                    fused_vit_layers_int8)
+                                                    fused_vit_layers_int8,
+                                                    fused_vit_layers_scanned)
 
             bp = self.variables["params"]
-            blocks = [bp[f"blocks_{i}"] for i in range(self.depth)]
-            # quantize_encoder_params replaces dense kernels with
-            # (int8, scale) pairs — dispatch on that shape
-            if isinstance(blocks[0]["attn"]["qkv"]["kernel"], (tuple, list)):
-                x = fused_vit_layers_int8(x, blocks, self.num_heads)
+            if "blocks_stacked" in bp:
+                # stack_encoder_params serving layout: one scanned kernel
+                x = fused_vit_layers_scanned(x, bp["blocks_stacked"],
+                                             self.num_heads)
             else:
-                x = fused_vit_layers(x, blocks, self.num_heads)
+                blocks = [bp[f"blocks_{i}"] for i in range(self.depth)]
+                # quantize_encoder_params replaces dense kernels with
+                # (int8, scale) pairs — dispatch on that shape
+                if isinstance(blocks[0]["attn"]["qkv"]["kernel"],
+                              (tuple, list)):
+                    x = fused_vit_layers_int8(x, blocks, self.num_heads)
+                else:
+                    x = fused_vit_layers(x, blocks, self.num_heads)
         else:
             if not self.is_initializing():
                 bp = self.variables["params"]
+                if "blocks_stacked" in bp:
+                    raise RuntimeError(
+                        "encoder params are layer-stacked "
+                        "(stack_encoder_params) but the fused TPU path is "
+                        "not engaged; stacked params only run on the "
+                        "scanned fused kernel")
                 if isinstance(bp["blocks_0"]["attn"]["qkv"]["kernel"],
                               (tuple, list)):
                     raise RuntimeError(

@@ -175,6 +175,103 @@ def supports_fused(n: int, l: int, d: int, num_heads: int) -> bool:
     return d % 128 == 0 and (d // num_heads) % _SUBLANE == 0 and n >= 1
 
 
+def stack_encoder_params(params: Dict[str, Any],
+                         scope: str = "vision_encoder") -> Dict[str, Any]:
+    """Host-side, one-time SERVING transform (mirror of
+    ops.gpt2_fused.stack_trunk_params): stack the encoder's per-layer
+    blocks_i trees into one 'blocks_stacked' tree with a leading layer
+    axis, removing the per-layer subtrees. The fused encoder apply then
+    scans ONE kernel over the layer axis — bit-equal, ~depth-fold smaller
+    executable. Works on bf16/f32 and quantize_encoder_params trees."""
+    params = dict(params)
+    enc = dict(params[scope])
+    names = sorted((nm for nm in enc
+                    if nm.startswith("blocks_") and nm[7:].isdigit()),
+                   key=lambda nm: int(nm[7:]))
+    blocks = [enc.pop(nm) for nm in names]
+    enc["blocks_stacked"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    params[scope] = enc
+    return params
+
+
+def _vit_bf16_layer_ops(p: Dict[str, Any], cdt, sg) -> list:
+    """The fused kernel's 12 weight operands for one block (order matches
+    _block_kernel's signature)."""
+    row = lambda a: sg(jnp.asarray(a, cdt)).reshape(1, -1)  # noqa: E731
+    mat = lambda a: sg(jnp.asarray(a, cdt))                 # noqa: E731
+    return [
+        row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
+        mat(p["attn"]["qkv"]["kernel"]), row(p["attn"]["qkv"]["bias"]),
+        mat(p["attn"]["proj"]["kernel"]), row(p["attn"]["proj"]["bias"]),
+        row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
+        mat(p["mlp"]["fc1"]["kernel"]), row(p["mlp"]["fc1"]["bias"]),
+        mat(p["mlp"]["fc2"]["kernel"]), row(p["mlp"]["fc2"]["bias"]),
+    ]
+
+
+def _vit_int8_layer_ops(p: Dict[str, Any], cdt, sg) -> list:
+    """The int8 kernel's 16 operands for one block (order matches
+    _block_kernel_int8's signature)."""
+    row = lambda a: sg(jnp.asarray(a, cdt)).reshape(1, -1)  # noqa: E731
+    srow = lambda a: sg(jnp.asarray(a, jnp.float32)).reshape(1, -1)  # noqa: E731
+    wqkv, sqkv = p["attn"]["qkv"]["kernel"]
+    wproj, sproj = p["attn"]["proj"]["kernel"]
+    w1, s1 = p["mlp"]["fc1"]["kernel"]
+    w2, s2 = p["mlp"]["fc2"]["kernel"]
+    return [
+        row(p["norm1"]["scale"]), row(p["norm1"]["bias"]),
+        sg(wqkv), srow(sqkv), row(p["attn"]["qkv"]["bias"]),
+        sg(wproj), srow(sproj), row(p["attn"]["proj"]["bias"]),
+        row(p["norm2"]["scale"]), row(p["norm2"]["bias"]),
+        sg(w1), srow(s1), row(p["mlp"]["fc1"]["bias"]),
+        sg(w2), srow(s2), row(p["mlp"]["fc2"]["bias"]),
+    ]
+
+
+def fused_vit_layers_scanned(x: jnp.ndarray, stacked: Dict[str, Any],
+                             num_heads: int, eps: float = 1e-6,
+                             interpret: bool = False) -> jnp.ndarray:
+    """fused_vit_layers(_int8) over a `stack_encoder_params` tree: one
+    pallas_call traced once, lax.scan over the layer axis. Bit-equal to
+    the unrolled applies (tests/test_vit_fused.py)."""
+    n, l, d = x.shape
+    cdt = x.dtype
+    sg = jax.lax.stop_gradient
+    x = sg(x)
+    lp = _round_up(l, _SUBLANE)
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    grid = (n,)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))  # noqa: E731
+
+    quantized = isinstance(stacked["attn"]["qkv"]["kernel"], (tuple, list))
+    if quantized:
+        kernel = functools.partial(_block_kernel_int8, num_heads=num_heads,
+                                   l_real=l, eps=eps)
+        ops_fn = _vit_int8_layer_ops
+    else:
+        kernel = functools.partial(_block_kernel, num_heads=num_heads,
+                                   l_real=l, eps=eps)
+        ops_fn = _vit_bf16_layer_ops
+    stacked = sg(stacked)
+
+    def body(carry, layer):
+        ops = ops_fn(layer, cdt, sg)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0))]
+            + [wspec(o.shape) for o in ops],
+            out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, lp, d), cdt),
+            interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+        )(carry, *ops)
+        return out, None
+
+    xp, _ = jax.lax.scan(body, xp, stacked)
+    return xp[:, :l]
+
+
 # --------------------------------------------------------------------------
 # int8 (W8A8) variant — same scheme as ops/gpt2_fused: per-output-channel
 # int8 weights (offline), dynamic per-row activation quant in-kernel

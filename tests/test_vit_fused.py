@@ -85,3 +85,36 @@ def test_supports_fused_gate():
     assert supports_fused(32, 197, 768, 12)
     assert not supports_fused(4, 197, 100, 4)   # non-lane-aligned dim
     assert not supports_fused(4, 197, 384, 96)  # head dim 4 not mult of 8
+
+def test_scanned_encoder_bitexact_vs_unrolled(stack):
+    """stack_encoder_params + the lax.scan fused apply is bit-equal to the
+    unrolled fused apply (bf16 serving dtype)."""
+    from dreamvla_tpu.ops.vit_fused import (fused_vit_layers_scanned,
+                                            stack_encoder_params)
+
+    x, m, v, bp = stack
+    xb = x.astype(jnp.bfloat16)
+    ref = fused_vit_layers(xb, bp, H, interpret=True)
+    full = stack_encoder_params({"vision_encoder": dict(v["params"])})
+    stacked = full["vision_encoder"]["blocks_stacked"]
+    assert stacked["attn"]["qkv"]["kernel"].shape[0] == DEPTH
+    assert "blocks_0" not in full["vision_encoder"]
+    got = fused_vit_layers_scanned(xb, stacked, H, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_scanned_encoder_int8_bitexact_vs_unrolled(stack):
+    from dreamvla_tpu.ops.vit_fused import (fused_vit_layers_int8,
+                                            fused_vit_layers_scanned,
+                                            quantize_encoder_params,
+                                            stack_encoder_params)
+
+    x, m, v, bp = stack
+    xb = x.astype(jnp.bfloat16)
+    q = quantize_encoder_params({"vision_encoder": dict(v["params"])})
+    bq = [q["vision_encoder"][f"blocks_{i}"] for i in range(DEPTH)]
+    ref = fused_vit_layers_int8(xb, bq, H, interpret=True)
+    qs = stack_encoder_params(q)
+    got = fused_vit_layers_scanned(xb, qs["vision_encoder"]["blocks_stacked"],
+                                   H, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
