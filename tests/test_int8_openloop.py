@@ -83,3 +83,60 @@ def test_int8_policy_drift_bounded():
     # mean 0.35% / max 1.3% of scale, 100% gripper agreement)
     assert rel_mean <= 0.05, f"int8 arm drift {rel_mean:.4f} > 5% of scale"
     assert flip_rate <= 0.01, f"gripper flip rate {flip_rate:.4f} > 1%"
+
+
+def test_stacked_serving_params_match_unrolled_on_chip():
+    """The layer-stacked serving layout (stack_trunk_params +
+    stack_encoder_params) produces the same policy outputs as the
+    per-layer tree ON THE CHIP, for bf16 and int8 params — the on-chip
+    counterpart of the interpret-mode bit-parity tests
+    (test_gpt2_fused/test_vit_fused). Guards the transform the bench and
+    eval CLI apply at param load."""
+    from dreamvla_tpu.config import calvin_finetune
+    from dreamvla_tpu.eval.policy import build_policy_fn
+    from dreamvla_tpu.models.dit import quantize_dit_params
+    from dreamvla_tpu.models.dreamvla import DreamVLA
+    from dreamvla_tpu.ops.gpt2_fused import (quantize_trunk_params,
+                                             stack_trunk_params)
+    from dreamvla_tpu.ops.vit_fused import (quantize_encoder_params,
+                                            stack_encoder_params)
+    from dreamvla_tpu.parallel.train_step import prepare_model_inputs
+    from dreamvla_tpu.utils.testing import make_synthetic_batch
+
+    cfg, tcfg = calvin_finetune()
+    cfg = dataclasses.replace(cfg, transformer_layers=2, hidden_dim=256,
+                              transformer_heads=4, vision_depth=2,
+                              dit_type="DiT-S")
+    model = DreamVLA(cfg)
+    batch = make_synthetic_batch(cfg, tcfg, batch=1, seed=1)
+    inp = prepare_model_inputs(cfg, jax.tree.map(jnp.asarray, batch))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2), "diffusion": jax.random.PRNGKey(3)},
+        image_primary=inp["image_primary"], image_wrist=inp["image_wrist"],
+        state=inp["state"], text_tokens=inp.get("text_tokens"),
+        action_label=inp["action_label"], mode="train", train=False)
+    params = dict(jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim >= 2 else x,
+        variables["params"]))
+
+    policy = build_policy_fn(model)
+    rng = jax.random.PRNGKey(11)
+
+    def run(p):
+        arm, grip = policy(p, inp["image_primary"], inp["image_wrist"],
+                           inp["state"], inp.get("text_tokens"), rng)
+        return np.asarray(arm, np.float32), np.asarray(grip, np.float32)
+
+    arm_u, grip_u = run(params)
+    arm_s, grip_s = run(stack_encoder_params(stack_trunk_params(params)))
+    np.testing.assert_array_equal(arm_s, arm_u)
+    np.testing.assert_array_equal(grip_s, grip_u)
+
+    params_q = quantize_encoder_params(quantize_trunk_params(params))
+    params_q["action_model"] = quantize_dit_params(params_q["action_model"])
+    arm_qu, grip_qu = run(params_q)
+    arm_qs, grip_qs = run(
+        stack_encoder_params(stack_trunk_params(params_q)))
+    np.testing.assert_array_equal(arm_qs, arm_qu)
+    np.testing.assert_array_equal(grip_qs, grip_qu)
