@@ -249,10 +249,15 @@ def _int8_layer_ops(p: Dict[str, Any], cdt) -> list:
 def fused_gpt2_layers_scanned(x: jnp.ndarray, stacked: Dict[str, Any],
                               bias: jnp.ndarray, n_a: int, n_q: int,
                               num_heads: int, eps: float = 1e-5,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              unroll: int = 1) -> jnp.ndarray:
     """fused_gpt2_layers(_int8) over a `stack_trunk_params` tree: one
     pallas_call traced once, `lax.scan` over the layer axis. Identical op
-    order per layer => bit-equal outputs (tests/test_gpt2_fused.py)."""
+    order per layer => bit-equal outputs (tests/test_gpt2_fused.py).
+
+    unroll: lax.scan unroll factor — a compile-size/throughput middle
+    ground between the fully scanned (1) and fully unrolled (L) applies;
+    bit-equal for any value (scan unrolling changes scheduling only)."""
     b, l, d = x.shape
     cdt = x.dtype
     lp = _round_up(l, _SUBLANE)
@@ -287,7 +292,7 @@ def fused_gpt2_layers_scanned(x: jnp.ndarray, stacked: Dict[str, Any],
         )(carry, biasa, biasb, *ops)
         return out, None
 
-    xp, _ = jax.lax.scan(body, xp, stacked)
+    xp, _ = jax.lax.scan(body, xp, stacked, unroll=unroll)
     return xp[:, :l]
 
 

@@ -230,10 +230,12 @@ def _vit_int8_layer_ops(p: Dict[str, Any], cdt, sg) -> list:
 
 def fused_vit_layers_scanned(x: jnp.ndarray, stacked: Dict[str, Any],
                              num_heads: int, eps: float = 1e-6,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             unroll: int = 1) -> jnp.ndarray:
     """fused_vit_layers(_int8) over a `stack_encoder_params` tree: one
     pallas_call traced once, lax.scan over the layer axis. Bit-equal to
-    the unrolled applies (tests/test_vit_fused.py)."""
+    the unrolled applies (tests/test_vit_fused.py). unroll: scan unroll
+    factor (scheduling only — outputs bit-equal for any value)."""
     n, l, d = x.shape
     cdt = x.dtype
     sg = jax.lax.stop_gradient
@@ -268,7 +270,7 @@ def fused_vit_layers_scanned(x: jnp.ndarray, stacked: Dict[str, Any],
         )(carry, *ops)
         return out, None
 
-    xp, _ = jax.lax.scan(body, xp, stacked)
+    xp, _ = jax.lax.scan(body, xp, stacked, unroll=unroll)
     return xp[:, :l]
 
 

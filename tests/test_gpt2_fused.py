@@ -118,6 +118,12 @@ def test_scanned_trunk_bitexact_vs_unrolled(trunk_setup):
     got = fused_gpt2_layers_scanned(x, stacked, bias, N_A, N_Q, H,
                                     interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # scan unroll factors change scheduling only — still bit-equal
+    # (incl. unroll > num_layers)
+    for u in (2, 3):
+        got_u = fused_gpt2_layers_scanned(x, stacked, bias, N_A, N_Q, H,
+                                          interpret=True, unroll=u)
+        np.testing.assert_array_equal(np.asarray(got_u), np.asarray(ref))
 
 
 def test_scanned_trunk_int8_bitexact_vs_unrolled(trunk_setup):

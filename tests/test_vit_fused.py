@@ -101,6 +101,10 @@ def test_scanned_encoder_bitexact_vs_unrolled(stack):
     assert "blocks_0" not in full["vision_encoder"]
     got = fused_vit_layers_scanned(xb, stacked, H, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # scan unroll is scheduling-only — still bit-equal
+    got_u = fused_vit_layers_scanned(xb, stacked, H, interpret=True,
+                                     unroll=2)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(ref))
 
 
 def test_scanned_encoder_int8_bitexact_vs_unrolled(stack):
