@@ -16,10 +16,14 @@ ITERS dependent applies chained in one jitted outer scan (the tunnel's
 block_until_ready does not block), medians over REPEATS.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/scan_unroll_ab.py
+     [--only bf16|int8] [--unrolls 1,2,4] [--skip-unrolled]
+(selection flags exist because each build costs 1-13 min through the
+tunnel depending on the window — run the sweep in restartable slices)
 """
 
 from __future__ import annotations
 
+import argparse
 import time
 
 import jax
@@ -79,6 +83,13 @@ def _time(apply_fn, x0) -> float:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["bf16", "int8"], default=None)
+    ap.add_argument("--unrolls", default="1,2,4")
+    ap.add_argument("--skip-unrolled", action="store_true")
+    args = ap.parse_args()
+    unrolls = [int(u) for u in args.unrolls.split(",") if u]
+
     rng = np.random.default_rng(0)
     blocks = [_rand_block(rng) for _ in range(DEPTH)]
     params = {"transformer_backbone":
@@ -92,15 +103,19 @@ def main() -> None:
     bias = jnp.zeros((L, L), jnp.float32)
 
     for tag, bs, stk, unrolled_fn, layers in (
-            ("bf16 bs16", 16, stacked, fused_gpt2_layers, blocks),
-            ("int8 bs32", 32, stacked_q, fused_gpt2_layers_int8, blocks_q)):
+            ("int8 bs32", 32, stacked_q, fused_gpt2_layers_int8, blocks_q),
+            ("bf16 bs16", 16, stacked, fused_gpt2_layers, blocks)):
+        if args.only and not tag.startswith(args.only):
+            continue
         x = jnp.asarray(rng.normal(size=(bs, L, D)) * 0.3, jnp.bfloat16)
-        for u in (1, 2, 4):
+        for u in unrolls:
             ms, build = _time(
                 lambda c, stk=stk, u=u: fused_gpt2_layers_scanned(
                     c, stk, bias, N_A, N_Q, H, unroll=u), x)
             print(f"{tag} scanned unroll={u}: {ms:8.2f} ms/apply "
                   f"(build {build:.0f}s)", flush=True)
+        if args.skip_unrolled:
+            continue
         ms, build = _time(
             lambda c, fn=unrolled_fn, lp=layers: fn(
                 c, lp, bias, N_A, N_Q, H), x)
