@@ -57,13 +57,17 @@ def _rand_block(rng) -> dict:
     }
 
 
-def _time(apply_fn, x0) -> float:
-    """ms per 24-layer trunk apply (median of REPEATS, ITERS per dispatch)."""
+def _time(apply_fn, x0, params) -> float:
+    """ms per 24-layer trunk apply (median of REPEATS, ITERS per dispatch).
+
+    params MUST flow through jit as an argument — closed-over weights get
+    baked into the HLO as ~600 MB of constants and the tunnel's compile
+    upload rejects the request (HTTP 413)."""
 
     @jax.jit
-    def run(x):
+    def run(x, p):
         def body(c, _):
-            out = apply_fn(c)
+            out = apply_fn(c, p)
             # rescale the feedback so 24*ITERS layers of random weights
             # don't saturate bf16 (timing only; keeps values finite)
             return (out * 0.05).astype(c.dtype), jnp.float32(out[0, 0, 0])
@@ -72,12 +76,12 @@ def _time(apply_fn, x0) -> float:
         return probes.sum()
 
     t0 = time.perf_counter()
-    float(run(x0))  # compile + first run
+    float(run(x0, params))  # compile + first run
     build = time.perf_counter() - t0
     ts = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        float(run(x0))
+        float(run(x0, params))
         ts.append((time.perf_counter() - t0) / ITERS)
     return float(np.median(ts)) * 1e3, build
 
@@ -110,15 +114,15 @@ def main() -> None:
         x = jnp.asarray(rng.normal(size=(bs, L, D)) * 0.3, jnp.bfloat16)
         for u in unrolls:
             ms, build = _time(
-                lambda c, stk=stk, u=u: fused_gpt2_layers_scanned(
-                    c, stk, bias, N_A, N_Q, H, unroll=u), x)
+                lambda c, p, u=u: fused_gpt2_layers_scanned(
+                    c, p, bias, N_A, N_Q, H, unroll=u), x, stk)
             print(f"{tag} scanned unroll={u}: {ms:8.2f} ms/apply "
                   f"(build {build:.0f}s)", flush=True)
         if args.skip_unrolled:
             continue
         ms, build = _time(
-            lambda c, fn=unrolled_fn, lp=layers: fn(
-                c, lp, bias, N_A, N_Q, H), x)
+            lambda c, p, fn=unrolled_fn: fn(
+                c, p, bias, N_A, N_Q, H), x, layers)
         print(f"{tag} unrolled (x{DEPTH}):  {ms:8.2f} ms/apply "
               f"(build {build:.0f}s)", flush=True)
 
