@@ -51,6 +51,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--compute_dtype", default=None,
                    help="bfloat16|float32 trunk compute dtype")
+    p.add_argument("--scan_unroll", type=int, default=None,
+                   help="lax.scan unroll factor for the layer-stacked "
+                        "fused serving kernels (bit-equal; trades compile "
+                        "size for a k-layer DMA/compute overlap window)")
     # reference flags stored by the model ctor but never read in forward
     # (dreamvla_model.py:151, :418) — accepted for script compatibility
     for flag in ("use_depth_query", "use_trajectory_query"):

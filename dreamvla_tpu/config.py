@@ -108,6 +108,12 @@ class DreamVLAConfig:
     # compute
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    # lax.scan unroll factor for the layer-stacked fused SERVING kernels
+    # (stack_trunk_params / stack_encoder_params applies). 1 = smallest
+    # executable (one kernel instance per op family); larger values give
+    # XLA a k-layer window to overlap weight DMA with compute at a
+    # ~k-fold larger compile. Bit-equal for any value (scheduling only).
+    scan_unroll: int = 1
 
     # ------------------------------------------------------------ derived
     @property

@@ -95,6 +95,7 @@ class DreamVLA(nn.Module):
                 img_size=cfg.image_size, patch_size=cfg.patch_size,
                 embed_dim=cfg.vision_embed_dim, depth=cfg.vision_depth,
                 num_heads=cfg.vision_heads, dtype=dt,
+                scan_unroll=cfg.scan_unroll,
             )
         if cfg.include_text_encoder:
             self.text_encoder = CLIPTextEncoder(
@@ -153,6 +154,7 @@ class DreamVLA(nn.Module):
         self.transformer_backbone = GPT2Trunk(
             num_layers=cfg.transformer_layers, num_heads=cfg.transformer_heads,
             dropout=cfg.dropout, dtype=dt, remat=cfg.remat, split=split,
+            scan_unroll=cfg.scan_unroll,
         )
 
         # dream decoders ----------------------------------------------------

@@ -100,6 +100,9 @@ class GPT2Trunk(nn.Module):
     use_pallas: Optional[bool] = None
     remat: bool = False
     split: Optional[BlockSplit] = None
+    # scan unroll for the layer-stacked serving apply (bit-equal; see
+    # ops/gpt2_fused.py::fused_gpt2_layers_scanned)
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, inputs_embeds, bias=None, deterministic: bool = True,
@@ -155,7 +158,8 @@ class GPT2Trunk(nn.Module):
                 if stacked:
                     x = fused_gpt2_layers_scanned(
                         x, bp["h_stacked"], bias, n_a, n_q,
-                        self.num_heads, eps=self.ln_eps)
+                        self.num_heads, eps=self.ln_eps,
+                        unroll=self.scan_unroll)
                     return nn.LayerNorm(epsilon=self.ln_eps,
                                         dtype=self.dtype, name="ln_f")(x)
                 blocks = [bp[f"h_{i}"] for i in range(self.num_layers)]

@@ -42,6 +42,9 @@ class MaskedAutoencoderViT(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: Optional[bool] = None
+    # scan unroll for the layer-stacked serving apply (bit-equal; see
+    # ops/vit_fused.py::fused_vit_layers_scanned)
+    scan_unroll: int = 1
 
     @property
     def grid_size(self) -> int:
@@ -115,7 +118,8 @@ class MaskedAutoencoderViT(nn.Module):
             if "blocks_stacked" in bp:
                 # stack_encoder_params serving layout: one scanned kernel
                 x = fused_vit_layers_scanned(x, bp["blocks_stacked"],
-                                             self.num_heads)
+                                             self.num_heads,
+                                             unroll=self.scan_unroll)
             else:
                 blocks = [bp[f"blocks_{i}"] for i in range(self.depth)]
                 # quantize_encoder_params replaces dense kernels with
